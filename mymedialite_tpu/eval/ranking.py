@@ -1,0 +1,170 @@
+"""Item-recommendation (ranking) evaluation.
+
+Counterpart of reference ``Eval/Items.cs:62-209``. The reference's
+per-user ``Parallel.ForEach`` + per-candidate ``Predict`` + IntervalHeap
+becomes: batched full-catalog scoring on device ([B, f] x [f, N] matmul
+inside the model's ``score_catalog``) + host-side vectorized rank math.
+
+Protocol parity notes:
+- candidate modes TRAINING/TEST/OVERLAP/UNION/EXPLICIT (Items.cs:62-96)
+- per-user skip rules: no correct items, or correct == all effective
+  candidates (Items.cs:152-163)
+- correct_items = test ∩ candidates, *including* items also in the
+  training ignore set (they count in AP/NDCG/recall denominators and in
+  the AUC missing-relevant correction but can never be hits) — exactly
+  the reference's semantics, which also means the n=-1 evaluation
+  raises if a user's train/test items overlap (the reference throws
+  "Should not happen" in AUC.cs:64 in that case).
+- measures averaged over evaluated users (Items.cs:202-208).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mymedialite_tpu.eval.measures import idcg
+from mymedialite_tpu.eval.results import ItemRecommendationResults
+
+CANDIDATE_MODES = ("TRAINING", "TEST", "OVERLAP", "UNION", "EXPLICIT")
+
+
+def candidates_for_mode(mode: str, test, training,
+                        explicit: Optional[Sequence[int]] = None) -> np.ndarray:
+    """Candidate item set (reference Items.Candidates, Eval/Items.cs:62-96)."""
+    mode = mode.upper()
+    test_items = test.all_items if test is not None else np.array([], dtype=np.int32)
+    if mode == "TRAINING":
+        return np.asarray(training.all_items)
+    if mode == "TEST":
+        return np.asarray(test_items)
+    if mode == "OVERLAP":
+        return np.intersect1d(test_items, training.all_items)
+    if mode == "UNION":
+        return np.union1d(test_items, training.all_items)
+    if mode == "EXPLICIT":
+        if explicit is None:
+            raise ValueError("EXPLICIT mode requires a candidate_items list")
+        return np.unique(np.asarray(list(explicit), dtype=np.int64))
+    raise ValueError(f"Unknown candidate_item_mode: {mode}")
+
+
+def _user_measures(ranks_sorted: np.ndarray, m: int, n_cand: int, cutoff: int):
+    """All per-user measures from the sorted 0-based ranks of the user's
+    correct items within the valid-candidate ranking.
+
+    ranks_sorted: ranks of correct∩valid items (ascending). Correct items
+    that are not in the valid set (ignored train∩test items) have no rank
+    and appear only via ``m``.
+    m: |correct| (incl. unrankable ones)
+    n_cand: |candidates - ignore| (length of the full ranking)
+    cutoff: list length L (n_cand when n=-1, else min(n, n_cand))
+    """
+    L = cutoff
+    dropped = n_cand - L
+    in_list = ranks_sorted[ranks_sorted < L]
+    m_in = int(in_list.size)
+
+    out = {}
+    # AUC with dropped-items correction (AUC.cs:42-68)
+    num_eval_pairs = (n_cand - m_in) * m_in
+    if num_eval_pairs == 0:
+        out["AUC"] = 0.5
+    else:
+        k = np.arange(m_in)
+        correct_pairs = int(np.sum((L - 1 - in_list) - (m_in - 1 - k)))
+        missing_relevant = m - m_in
+        if dropped - missing_relevant < 0:
+            raise ValueError(
+                "more missing relevant items than dropped items — "
+                "train/test overlap with full-list evaluation (reference "
+                "AUC.cs:64 'Should not happen')")
+        correct_pairs += m_in * (dropped - missing_relevant)
+        out["AUC"] = correct_pairs / num_eval_pairs
+    # AP (PrecisionAndRecall.cs:45-66)
+    if m_in:
+        out["MAP"] = float(np.sum(np.arange(1, m_in + 1) / (in_list + 1)) / m)
+    else:
+        out["MAP"] = 0.0
+    # NDCG (NDCG.cs:36-55)
+    out["NDCG"] = float(np.sum(1.0 / np.log2(in_list + 2)) / idcg(m))
+    # MRR (ReciprocalRank.cs:39-56)
+    out["MRR"] = 1.0 / (in_list[0] + 1) if m_in else 0.0
+    # prec@/recall@ (PrecisionAndRecall.cs:68-141)
+    for N in (5, 10):
+        hits = int(np.sum(in_list < min(N, L)))
+        out[f"prec@{N}"] = hits / N
+        out[f"recall@{N}"] = hits / m
+    return out
+
+
+def evaluate_items(recommender, test, training,
+                   test_users: Optional[Sequence[int]] = None,
+                   candidate_items: Optional[Sequence[int]] = None,
+                   candidate_item_mode: str = "OVERLAP",
+                   repeated_events: bool = False,
+                   n: int = -1,
+                   batch_size: int = 512) -> ItemRecommendationResults:
+    """Ranking evaluation (reference Eval/Items.Evaluate, Items.cs:126-209)."""
+    if test_users is None:
+        test_users = test.all_users
+    test_users = np.asarray(test_users, dtype=np.int32)
+    cand = candidates_for_mode(candidate_item_mode, test, training,
+                               candidate_items)
+
+    num_items = max(recommender.num_items_trained,
+                    int(cand.max()) + 1 if cand.size else 0,
+                    training.num_items, test.num_items)
+    cand_mask = np.zeros(num_items, dtype=bool)
+    cand_mask[cand] = True
+
+    sums = {m: 0.0 for m in ItemRecommendationResults.ALL_MEASURES}
+    num_evaluated = 0
+
+    for start in range(0, test_users.size, batch_size):
+        batch = test_users[start:start + batch_size]
+        scores = np.asarray(recommender.score_catalog(batch), dtype=np.float32)
+        if scores.shape[1] < num_items:
+            # items unknown to the model rank last, deterministically
+            pad = np.full((scores.shape[0], num_items - scores.shape[1]),
+                          -np.float32(1e30), dtype=np.float32)
+            scores = np.concatenate([scores, pad], axis=1)
+
+        for row, u in enumerate(batch):
+            test_items_u = test.items_by_user(int(u)) if u < test.num_users else \
+                np.array([], dtype=np.int32)
+            correct_mask = np.zeros(num_items, dtype=bool)
+            correct_mask[test_items_u] = True
+            correct_mask &= cand_mask
+            m = int(correct_mask.sum())
+            if m == 0:
+                continue
+
+            valid_mask = cand_mask.copy()
+            if not repeated_events and u < training.num_users:
+                train_items_u = training.items_by_user(int(u))
+                valid_mask[train_items_u] = False
+            n_cand = int(valid_mask.sum())
+            if m == n_cand:
+                continue  # reference Items.cs:163
+
+            s = np.where(valid_mask, scores[row, :num_items], -np.inf)
+            order = np.argsort(-s, kind="stable")
+            ranks = np.empty(num_items, dtype=np.int64)
+            ranks[order] = np.arange(num_items)
+            correct_ranked = np.sort(ranks[correct_mask & valid_mask])
+
+            cutoff = n_cand if n < 0 else min(n, n_cand)
+            user_m = _user_measures(correct_ranked, m, n_cand, cutoff)
+            for key, value in user_m.items():
+                sums[key] += value
+            num_evaluated += 1
+
+    result = ItemRecommendationResults()
+    for key in sums:
+        result[key] = sums[key] / num_evaluated if num_evaluated else 0.0
+    result["num_users"] = num_evaluated
+    result["num_lists"] = num_evaluated
+    result["num_items"] = int(cand.size)
+    return result

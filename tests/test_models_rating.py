@@ -1,0 +1,183 @@
+"""Rating-predictor model tests (counterpart of reference
+Tests/RatingPrediction/*: MatrixFactorizationTest learn-rate decay,
+save->load->identical-predictions sweep, baselines)."""
+
+import numpy as np
+import pytest
+
+from mymedialite_tpu.data import RatingData
+from mymedialite_tpu.data.synthetic import split_ratings, synthetic_ratings
+from mymedialite_tpu.eval.rating import evaluate_ratings
+from mymedialite_tpu.models.registry import (
+    create_rating_predictor, list_rating_predictors,
+)
+from mymedialite_tpu.utils.params import configure
+
+
+def small_ratings():
+    users = [0, 0, 0, 1, 1, 1, 2, 3, 4]
+    items = [0, 1, 2, 0, 1, 3, 0, 0, 1]
+    values = [1.0, 1.5, 3.0, 5.0, 3.5, 1.0, 4.0, 2.0, 4.5]
+    return RatingData(users, items, values)
+
+
+@pytest.fixture(scope="module")
+def ml_like():
+    data = synthetic_ratings(num_ratings=30000, seed=3)
+    return split_ratings(data, seed=4)
+
+
+class TestBaselines:
+    @pytest.mark.parametrize("name", ["GlobalAverage", "UserAverage",
+                                      "ItemAverage", "UserItemBaseline",
+                                      "Constant", "Random"])
+    def test_train_predict(self, name):
+        m = create_rating_predictor(name)
+        m.ratings = small_ratings()
+        m.train()
+        p = m.predict(0, 0)
+        assert np.isfinite(p)
+        batch = m.predict_batch(np.array([0, 1, 2]), np.array([0, 1, 0]))
+        assert batch.shape == (3,)
+
+    def test_global_average_value(self):
+        m = create_rating_predictor("GlobalAverage")
+        m.ratings = small_ratings()
+        m.train()
+        assert m.predict(0, 0) == pytest.approx(small_ratings().average, abs=1e-6)
+
+    def test_user_average(self):
+        m = create_rating_predictor("UserAverage")
+        m.ratings = small_ratings()
+        m.train()
+        assert m.predict(0, 99) == pytest.approx((1.0 + 1.5 + 3.0) / 3, abs=1e-6)
+        # unseen user -> global average
+        assert m.predict(99, 0) == pytest.approx(small_ratings().average, abs=1e-6)
+
+    def test_user_item_baseline_beats_global(self, ml_like):
+        train, test = ml_like
+        uib = create_rating_predictor("UserItemBaseline")
+        uib.ratings = train
+        uib.train()
+        ga = create_rating_predictor("GlobalAverage")
+        ga.ratings = train
+        ga.train()
+        rmse_uib = evaluate_ratings(uib, test)["RMSE"]
+        rmse_ga = evaluate_ratings(ga, test)["RMSE"]
+        assert rmse_uib < rmse_ga - 0.02
+
+
+class TestMatrixFactorization:
+    def test_learn_rate_decay(self):
+        # reference Tests/RatingPrediction/MatrixFactorizationTest.cs:
+        # current_learnrate multiplies by decay each iterate
+        m = create_rating_predictor("MatrixFactorization")
+        m.ratings = small_ratings()
+        m.learn_rate = 0.1
+        m.learn_rate_decay = 0.5
+        m.num_iter = 1
+        m.batch_size = 16
+        m.train()
+        assert m.current_learnrate == pytest.approx(0.05)
+        m.iterate()
+        assert m.current_learnrate == pytest.approx(0.025)
+
+    def test_default_echo(self):
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        s = str(m)
+        assert s.startswith("BiasedMatrixFactorization ")
+        assert "num_factors=10" in s
+        assert "loss=RMSE" in s
+        assert "learn_rate_decay=1" in s
+
+    def test_configure(self):
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        configure(m, "num_factors=20 reg_u=0.1 loss=LogisticLoss bold_driver=true")
+        assert m.num_factors == 20
+        assert m.reg_u == pytest.approx(0.1)
+        assert m.loss.value == "LogisticLoss"
+        assert m.bold_driver is True
+        # 'regularization' fans out to both
+        configure(m, "regularization=0.05")
+        assert m.reg_u == pytest.approx(0.05)
+        assert m.reg_i == pytest.approx(0.05)
+
+    def test_learns(self, ml_like):
+        train, test = ml_like
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        m.ratings = train
+        m.num_factors = 8
+        m.num_iter = 15
+        m.batch_size = 4096
+        m.train()
+        ga = create_rating_predictor("GlobalAverage")
+        ga.ratings = train
+        ga.train()
+        rmse = evaluate_ratings(m, test)["RMSE"]
+        rmse_ga = evaluate_ratings(ga, test)["RMSE"]
+        assert rmse < rmse_ga - 0.05
+        # predictions stay in scale bounds
+        p = m.predict_batch(test.users, test.items)
+        assert (p >= train.scale.min).all() and (p <= train.scale.max).all()
+
+    def test_bold_driver_runs(self):
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        m.ratings = small_ratings()
+        m.bold_driver = True
+        m.num_iter = 3
+        m.batch_size = 16
+        m.train()
+        assert np.isfinite(m.compute_objective())
+
+    def test_incremental_add_user(self, ml_like):
+        train, _ = ml_like
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        m.ratings = train
+        m.num_iter = 2
+        m.batch_size = 4096
+        m.train()
+        new_u = train.num_users  # brand-new user
+        m.add_ratings([new_u, new_u], [0, 1], [5.0, 4.0])
+        p = m.predict(new_u, 0)
+        assert np.isfinite(p)
+        assert m.ratings.try_get(new_u, 0) == 5.0
+
+    def test_fold_in(self, ml_like):
+        train, _ = ml_like
+        m = create_rating_predictor("BiasedMatrixFactorization")
+        m.ratings = train
+        m.num_iter = 3
+        m.batch_size = 4096
+        m.train()
+        scored = m.score_items_foldin([(0, 5.0), (1, 4.0)], [2, 3, 4])
+        assert len(scored) == 3
+        assert all(np.isfinite(s) for _, s in scored)
+
+
+class TestSaveLoadRoundTrip:
+    """The determinism oracle (reference tests/test_load_save.sh and
+    ItemRecommendersTest.cs:62+): save -> load -> identical predictions."""
+
+    @pytest.mark.parametrize("name", [n for n in list_rating_predictors()
+                                      if n not in ("Random",)])
+    def test_roundtrip(self, name, tmp_path):
+        train = small_ratings()
+        m = create_rating_predictor(name)
+        m.ratings = train
+        if hasattr(m, "num_iter"):
+            m.num_iter = 2
+        if hasattr(m, "batch_size"):
+            m.batch_size = 16
+        m.train()
+        users = np.array([0, 1, 2, 3, 4], dtype=np.int32)
+        items = np.array([0, 1, 2, 3, 0], dtype=np.int32)
+        before = m.predict_batch(users, items)
+
+        path = str(tmp_path / f"{name}.model")
+        m.save_model(path)
+
+        m2 = create_rating_predictor(name)
+        m2.ratings = train
+        m2.load_model(path)
+        after = m2.predict_batch(users, items)
+        np.testing.assert_allclose(before, after, rtol=0, atol=1e-6)
