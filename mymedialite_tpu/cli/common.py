@@ -1,0 +1,110 @@
+"""Shared command-line plumbing for the three programs.
+
+Counterpart of reference ``src/Programs/CommandLineProgram/
+CommandLineProgram.cs:31-350``: common flag surface, data loading with
+ID mapping, the train/eval orchestration, per-phase timing stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from mymedialite_tpu.data.mapping import IdentityMapping, Mapping
+
+
+def add_common_options(parser: argparse.ArgumentParser):
+    """The shared flags (reference CommandLineProgram.cs:198-234)."""
+    add = parser.add_argument
+    add("--training-file", default=None)
+    add("--test-file", default=None)
+    add("--recommender", default=None)
+    add("--recommender-options", default=None, action="append")
+    add("--data-dir", default="")
+    add("--user-attributes", default=None)
+    add("--item-attributes", default=None)
+    add("--user-relations", default=None)
+    add("--item-relations", default=None)
+    add("--save-model", default=None)
+    add("--load-model", default=None)
+    add("--save-user-mapping", default=None)
+    add("--save-item-mapping", default=None)
+    add("--load-user-mapping", default=None)
+    add("--load-item-mapping", default=None)
+    add("--prediction-file", default=None)
+    add("--measures", default=None)
+    add("--find-iter", type=int, default=0)
+    add("--max-iter", type=int, default=500)
+    add("--num-iter", type=int, default=None)
+    add("--random-seed", type=int, default=None)
+    add("--cross-validation", type=int, default=0)
+    add("--epsilon", type=float, default=0.0)
+    add("--cutoff", type=float, default=None)
+    add("--test-ratio", type=float, default=0.0)
+    add("--compute-fit", action="store_true")
+    add("--online-evaluation", action="store_true")
+    add("--no-id-mapping", action="store_true")
+    add("--show-fold-results", action="store_true")
+
+
+def data_path(args, filename):
+    if filename is None:
+        return None
+    if os.path.isabs(filename) or not args.data_dir:
+        return filename
+    return os.path.join(args.data_dir, filename)
+
+
+def make_mappings(args):
+    if args.no_id_mapping:
+        return IdentityMapping(), IdentityMapping()
+    user_mapping = (Mapping.load(args.load_user_mapping)
+                    if args.load_user_mapping else Mapping())
+    item_mapping = (Mapping.load(args.load_item_mapping)
+                    if args.load_item_mapping else Mapping())
+    return user_mapping, item_mapping
+
+
+def save_mappings(args, user_mapping, item_mapping):
+    if args.save_user_mapping:
+        user_mapping.save(args.save_user_mapping)
+    if args.save_item_mapping:
+        item_mapping.save(args.save_item_mapping)
+
+
+def abort(message: str):
+    print(message, file=sys.stderr)
+    sys.exit(1)
+
+
+class PhaseTimer:
+    """Timing stats per phase (reference Wrap.MeasureTime +
+    CommandLineProgram.cs:328-348 min/max/avg report)."""
+
+    def __init__(self):
+        self.stats = {}
+
+    def measure(self, phase: str, fn):
+        t0 = time.time()
+        result = fn()
+        self.stats.setdefault(phase, []).append(time.time() - t0)
+        return result, self.stats[phase][-1]
+
+    def report(self, out=sys.stderr):
+        for phase, times in self.stats.items():
+            if len(times) > 1:
+                print(f"{phase}_time: min={min(times):.3f} max={max(times):.3f} "
+                      f"avg={np.mean(times):.3f}", file=out)
+
+
+def seed_everything(args, recommender):
+    if args.random_seed is not None and hasattr(recommender, "random_seed"):
+        recommender.random_seed = args.random_seed
+
+
+def fmt_seconds(s: float) -> str:
+    return f"{s:.2f}"

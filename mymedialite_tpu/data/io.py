@@ -74,8 +74,9 @@ def read_rating_data(filename: str, user_mapping: Mapping = None,
         z = _load_cache(filename, "Ratings")
         if z is not None:
             return RatingData(z["users"], z["items"], z["values"])
-    user_mapping = user_mapping or IdentityMapping()
-    item_mapping = item_mapping or IdentityMapping()
+    # 'or' would discard an EMPTY Mapping (falsy via __len__)
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
     users, items, values = [], [], []
     with open(filename) as f:
         if ignore_first_line:
@@ -100,8 +101,9 @@ def read_movielens_1m_rating_data(filename: str, user_mapping=None,
                                   item_mapping=None) -> RatingData:
     """MovieLens-1M ``user::item::rating::timestamp`` format
     (reference IO/MovieLensRatingData.cs)."""
-    user_mapping = user_mapping or IdentityMapping()
-    item_mapping = item_mapping or IdentityMapping()
+    # 'or' would discard an EMPTY Mapping (falsy via __len__)
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
     users, items, values, times = [], [], [], []
     with open(filename) as f:
         for line in f:
@@ -141,8 +143,9 @@ def _parse_time(date_string: str) -> int:
 def read_timed_rating_data(filename: str, user_mapping=None, item_mapping=None,
                            ignore_first_line: bool = False) -> RatingData:
     """``user item rating time`` lines (reference IO/TimedRatingData.cs)."""
-    user_mapping = user_mapping or IdentityMapping()
-    item_mapping = item_mapping or IdentityMapping()
+    # 'or' would discard an EMPTY Mapping (falsy via __len__)
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
     users, items, values, times = [], [], [], []
     with open(filename) as f:
         if ignore_first_line:
@@ -170,8 +173,9 @@ def read_item_data(filename: str, user_mapping=None, item_mapping=None,
         z = _load_cache(filename, "PosOnlyFeedback")
         if z is not None:
             return PosOnlyData(z["users"], z["items"])
-    user_mapping = user_mapping or IdentityMapping()
-    item_mapping = item_mapping or IdentityMapping()
+    # 'or' would discard an EMPTY Mapping (falsy via __len__)
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
     users, items = [], []
     with open(filename) as f:
         if ignore_first_line:
@@ -195,8 +199,9 @@ def read_item_data_rating_threshold(filename: str, rating_threshold: float,
                                     ignore_first_line: bool = False) -> PosOnlyData:
     """Rating file -> implicit feedback, keeping ratings >= threshold
     (reference IO/ItemDataRatingThreshold.cs)."""
-    user_mapping = user_mapping or IdentityMapping()
-    item_mapping = item_mapping or IdentityMapping()
+    # 'or' would discard an EMPTY Mapping (falsy via __len__)
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
     users, items = [], []
     with open(filename) as f:
         if ignore_first_line:
@@ -218,7 +223,7 @@ def read_attribute_data(filename: str, mapping: Mapping = None,
     """``entity_id attribute_id`` binary attribute pairs
     (reference IO/AttributeData.cs:51-80; attribute ids are raw ints).
     Returned as an InteractionData with users=entities, items=attributes."""
-    mapping = mapping or IdentityMapping()
+    mapping = IdentityMapping() if mapping is None else mapping
     entities, attrs = [], []
     with open(filename) as f:
         if ignore_first_line:
@@ -238,7 +243,7 @@ def read_relation_data(filename: str, mapping: Mapping = None,
                        ignore_first_line: bool = False) -> InteractionData:
     """``entity entity`` binary relation pairs (reference IO/RelationData.cs);
     both columns go through the same mapping."""
-    mapping = mapping or IdentityMapping()
+    mapping = IdentityMapping() if mapping is None else mapping
     e1, e2 = [], []
     with open(filename) as f:
         if ignore_first_line:

@@ -18,6 +18,11 @@ class Mapping:
     def __len__(self):
         return len(self._to_original)
 
+    def __bool__(self):
+        # an empty mapping is still a mapping — never falsy (guards against
+        # `mapping or IdentityMapping()` silently swapping it out)
+        return True
+
     @property
     def internal_ids(self):
         return range(len(self._to_original))

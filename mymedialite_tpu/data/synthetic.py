@@ -55,16 +55,22 @@ def synthetic_posonly(num_users: int = 943, num_items: int = 1682,
     """Implicit feedback where 'likes' follow a latent low-rank preference,
     so ranking models can achieve AUC well above 0.5."""
     rng = np.random.default_rng(seed)
-    P = rng.normal(0, 1, (num_users, rank))
-    Q = rng.normal(0, 1, (num_items, rank))
-    pop = rng.normal(0, 1, num_items)
+    P = rng.normal(0, 1, (num_users, rank)).astype(np.float32)
+    Q = rng.normal(0, 1, (num_items, rank)).astype(np.float32)
+    pop = rng.normal(0, 1, num_items).astype(np.float32)
     user_p = rng.lognormal(0.0, 1.0, num_users)
     user_p /= user_p.sum()
     users = rng.choice(num_users, size=num_events * 2, p=user_p).astype(np.int32)
-    # sample items per event from softmax(popularity + affinity) via Gumbel trick
-    logits = P[users] @ Q.T / np.sqrt(rank) + pop[None, :]
-    g = rng.gumbel(size=logits.shape)
-    items = np.argmax(logits + g, axis=1).astype(np.int32)
+    # sample items per event from softmax(popularity + affinity) via the
+    # Gumbel trick, chunked to bound the [chunk, num_items] temporary
+    items = np.empty(users.size, dtype=np.int32)
+    # affinity dominates popularity so factor models beat raw popularity
+    scale = np.float32(2.0 / np.sqrt(rank))
+    for s in range(0, users.size, 4096):
+        chunk = users[s:s + 4096]
+        logits = P[chunk] @ Q.T * scale + 0.5 * pop[None, :]
+        g = rng.gumbel(size=logits.shape).astype(np.float32)
+        items[s:s + 4096] = np.argmax(logits + g, axis=1)
     _, first = np.unique(users.astype(np.int64) * num_items + items,
                          return_index=True)
     first = np.sort(first)[:num_events]

@@ -1,0 +1,71 @@
+"""Cross-validation evaluation.
+
+Counterparts of reference ``Eval/RatingsCrossValidation.cs:36-148`` and
+``Eval/ItemsCrossValidation.cs:39-127``: k-fold split, per-fold
+clone+train+evaluate, fold-averaged results. The reference parallelizes
+folds with Parallel.For; here folds run sequentially (each fold's
+training already saturates the chip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mymedialite_tpu.data.splits import crossvalidation_split
+from mymedialite_tpu.eval.ranking import evaluate_items
+from mymedialite_tpu.eval.rating import evaluate_ratings
+from mymedialite_tpu.eval.results import (
+    ItemRecommendationResults, RatingPredictionResults,
+)
+
+
+def clone_recommender(recommender):
+    """Fresh instance with the same hyperparameters (reference Clone()
+    usage in RatingsCrossValidation.cs:41-68)."""
+    fresh = type(recommender)()
+    names = list(getattr(recommender, "HYPERPARAMS", {}))
+    names += list(getattr(recommender, "EXTRA_PARAMS", {}))
+    names += ["random_seed"]
+    for name in names:
+        if hasattr(recommender, name):
+            setattr(fresh, name, getattr(recommender, name))
+    return fresh
+
+
+def crossvalidate_ratings(recommender, ratings, num_folds: int = 5,
+                          compute_fit: bool = False, shuffle: bool = False,
+                          rng=None, show_results: bool = False):
+    folds = crossvalidation_split(ratings, num_folds, shuffle, rng)
+    fold_results = []
+    for f, (train, test) in enumerate(folds):
+        model = clone_recommender(recommender)
+        model.ratings = train
+        model.train()
+        res = evaluate_ratings(model, test)
+        if compute_fit:
+            from mymedialite_tpu.eval.rating import compute_fit as _fit
+            res["fit"] = _fit(model)
+        if show_results:
+            print(f"fold {f} {res}")
+        fold_results.append(res)
+    return RatingPredictionResults.average(fold_results)
+
+
+def crossvalidate_items(recommender, feedback, num_folds: int = 5,
+                        test_users=None, candidate_items=None,
+                        candidate_item_mode: str = "OVERLAP",
+                        shuffle: bool = False, rng=None,
+                        show_results: bool = False):
+    folds = crossvalidation_split(feedback, num_folds, shuffle, rng)
+    fold_results = []
+    for f, (train, test) in enumerate(folds):
+        model = clone_recommender(recommender)
+        model.feedback = train
+        model.train()
+        res = evaluate_items(model, test, train, test_users=test_users,
+                             candidate_items=candidate_items,
+                             candidate_item_mode=candidate_item_mode)
+        if show_results:
+            print(f"fold {f} {res}")
+        fold_results.append(res)
+    return ItemRecommendationResults.average(fold_results)

@@ -1,0 +1,418 @@
+"""k-nearest-neighbor recommenders (rating + implicit, collaborative +
+attribute-based).
+
+TPU-native counterparts of reference
+``RatingPrediction/KNN.cs:47-175`` (+ ``UserKNN.cs:28``, ``ItemKNN.cs:28``,
+``UserAttributeKNN.cs``, ``ItemAttributeKNN.cs``) and
+``ItemRecommendation/KNN.cs:29-178`` (+ ``UserKNN.cs:30``, ``ItemKNN.cs:31``,
+``UserAttributeKNN.cs:26``, ``ItemAttributeKNN.cs:26``).
+
+All correlation matrices come from the matmul kernels in
+ops/correlation.py; implicit-KNN scoring is a dense masked-correlation x
+incidence matmul over the whole catalog instead of the reference's
+per-candidate loops.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+
+from mymedialite_tpu.io.model_io import ModelReader, ModelWriter
+from mymedialite_tpu.models.base import (
+    IncrementalItemRecommender, IncrementalRatingPredictor,
+)
+from mymedialite_tpu.models.baselines import UserItemBaseline
+from mymedialite_tpu.ops import correlation as corr_ops
+
+INF_K = 2**32 - 1  # reference uint.MaxValue sentinel for K=inf
+
+
+class BinaryCorrelationType(enum.Enum):
+    COSINE = "Cosine"
+    JACCARD = "Jaccard"
+    CONDITIONAL_PROBABILITY = "ConditionalProbability"
+    BIDIRECTIONAL_CONDITIONAL_PROBABILITY = "BidirectionalConditionalProbability"
+    COOCCURRENCE = "Cooccurrence"
+
+
+class RatingCorrelationType(enum.Enum):
+    BINARY_COSINE = "BinaryCosine"
+    JACCARD = "Jaccard"
+    CONDITIONAL_PROBABILITY = "ConditionalProbability"
+    BIDIRECTIONAL_CONDITIONAL_PROBABILITY = "BidirectionalConditionalProbability"
+    COOCCURRENCE = "Cooccurrence"
+    PEARSON = "Pearson"
+    RATING_COSINE = "RatingCosine"
+
+
+_BINARY_KIND = {
+    "Cosine": "cosine",
+    "BinaryCosine": "cosine",
+    "Jaccard": "jaccard",
+    "ConditionalProbability": "conditional_probability",
+    "BidirectionalConditionalProbability":
+        "bidirectional_conditional_probability",
+    "Cooccurrence": "cooccurrence",
+}
+
+
+class _EntityView:
+    """COO view with (users=entities, items=features) for correlation."""
+
+    def __init__(self, users, items):
+        self.users = users
+        self.items = items
+
+
+# ---------------------------------------------------------------------------
+# implicit-feedback KNN (reference ItemRecommendation/KNN.cs)
+# ---------------------------------------------------------------------------
+
+class _ImplicitKNN(IncrementalItemRecommender):
+    HYPERPARAMS = {
+        "k": int,
+        "correlation": BinaryCorrelationType,
+        "q": float,
+        "weighted": bool,
+        "alpha": float,
+    }
+
+    ENTITY = "user"      # correlate users or items
+    ATTRIBUTES = False   # correlate on attributes instead of feedback
+
+    def __init__(self):
+        super().__init__()
+        # defaults per reference ItemRecommendation/KNN.cs:32-58
+        self.k = 80
+        self.q = 1.0
+        self.alpha = 0.5
+        self.weighted = False
+        self.correlation = BinaryCorrelationType.COSINE
+        self.corr = None            # [N, N] numpy correlation matrix
+        self.neighbors = None       # [N, k] neighbor ids
+        self.attributes = None      # InteractionData (entity -> attribute)
+
+    def _correlation_data(self):
+        f = self.feedback
+        if self.ATTRIBUTES:
+            if self.attributes is None:
+                raise ValueError(f"{type(self).__name__} needs attribute data")
+            n = (f.num_users if self.ENTITY == "user" else f.num_items)
+            n_attr = self.attributes.num_items
+            return self.attributes, max(n, self.attributes.num_users), n_attr
+        if self.ENTITY == "user":
+            return (_EntityView(f.users, f.items), f.num_users, f.num_items)
+        return (_EntityView(f.items, f.users), f.num_items, f.num_users)
+
+    def train(self):
+        data, n, m = self._correlation_data()
+        self.corr = corr_ops.binary_correlation(
+            data, n, m, kind=_BINARY_KIND[self.correlation.value],
+            alpha=self.alpha, weighted=self.weighted)
+        self._build_neighbors()
+
+    def _build_neighbors(self):
+        if self.k != INF_K:
+            self.neighbors = corr_ops.nearest_neighbors(self.corr, self.k)
+
+    def _incidence(self):
+        """Binary [num_users, num_items] matrix of the training feedback."""
+        f = self.feedback
+        return corr_ops.incidence_dense(f, f.num_users, f.num_items)
+
+    def score_catalog(self, users):
+        users = np.clip(np.asarray(users, dtype=np.int64), 0,
+                        self.feedback.num_users - 1)
+        M = self._incidence()
+        if self.k == INF_K:
+            # SumUp path (reference KNN K=inf): unnormalized sum of corr^q
+            W = np.sign(self.corr) * np.abs(self.corr) ** self.q
+            if self.ENTITY == "user":
+                return (W[users] @ M).astype(np.float32)
+            return (M[users] @ W.T).astype(np.float32)
+        # masked correlations of the k nearest neighbors
+        N = self.corr.shape[0]
+        Wk = np.zeros_like(self.corr)
+        rows = np.repeat(np.arange(N), self.neighbors.shape[1])
+        cols = self.neighbors.reshape(-1)
+        vals = self.corr[rows, cols]
+        Wk[rows, cols] = np.sign(vals) * np.abs(vals) ** self.q
+        norm = Wk.sum(axis=1)
+        norm[norm == 0] = 1.0
+        if self.ENTITY == "user":
+            scores = (Wk[users] @ M) / norm[users][:, None]
+        else:
+            scores = (M[users] @ Wk.T) / norm[None, :]
+        return scores.astype(np.float32)
+
+    def predict_batch(self, users, items):
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        out = np.full(users.shape, -np.float32(3.4e38), dtype=np.float32)
+        ok = (users >= 0) & (users < self.feedback.num_users) & \
+             (items >= 0) & (items < self.feedback.num_items)
+        if ok.any():
+            uniq_users = np.unique(users[ok])
+            scores = self.score_catalog(uniq_users)
+            row_of = {int(u): r for r, u in enumerate(uniq_users)}
+            rows = np.array([row_of[int(u)] for u in users[ok]])
+            out[ok] = scores[rows, items[ok]]
+        return out
+
+    def _retrain(self, users, items):
+        if self.corr is not None:
+            self.train()
+
+    # correlation matrices round-trip in the reference text format
+    # (reference ItemRecommendation/KNN.cs:118-160)
+    def save_model(self, path):
+        with ModelWriter(path, type(self).__name__, "2.99") as w:
+            w._f.write(f"{self.correlation.value}\n")
+            w.matrix(self.corr)
+
+    def load_model(self, path):
+        with ModelReader(path, type(self).__name__) as r:
+            name = r._line()
+            self.correlation = next(m for m in BinaryCorrelationType
+                                    if m.value == name)
+            self.corr = r.matrix()
+        self._build_neighbors()
+
+    def get_similarity(self, a, b):
+        return float(self.corr[a, b])
+
+
+class UserKNN(_ImplicitKNN):
+    """Reference ItemRecommendation/UserKNN.cs:30."""
+    ENTITY = "user"
+
+
+class ItemKNN(_ImplicitKNN):
+    """Reference ItemRecommendation/ItemKNN.cs:31."""
+    ENTITY = "item"
+
+
+class UserAttributeKNN(_ImplicitKNN):
+    """Reference ItemRecommendation/UserAttributeKNN.cs:26."""
+    ENTITY = "user"
+    ATTRIBUTES = True
+
+    @property
+    def user_attributes(self):
+        return self.attributes
+
+    @user_attributes.setter
+    def user_attributes(self, data):
+        self.attributes = data
+
+
+class ItemAttributeKNN(_ImplicitKNN):
+    """Reference ItemRecommendation/ItemAttributeKNN.cs:26."""
+    ENTITY = "item"
+    ATTRIBUTES = True
+
+    @property
+    def item_attributes(self):
+        return self.attributes
+
+    @item_attributes.setter
+    def item_attributes(self, data):
+        self.attributes = data
+
+
+# ---------------------------------------------------------------------------
+# rating-prediction KNN (reference RatingPrediction/KNN.cs)
+# ---------------------------------------------------------------------------
+
+class _RatingKNN(IncrementalRatingPredictor):
+    HYPERPARAMS = {
+        "k": int,
+        "correlation": RatingCorrelationType,
+        "weighted_binary": bool,
+        "alpha": float,
+        "reg_u": float,
+        "reg_i": float,
+        "num_iter": int,
+    }
+
+    ENTITY = "user"
+    ATTRIBUTES = False
+
+    def __init__(self):
+        super().__init__()
+        # defaults per reference RatingPrediction/KNN.cs:50 + UserItemBaseline
+        self.k = 80
+        self.alpha = 0.0
+        self.weighted_binary = False
+        self.correlation = RatingCorrelationType.PEARSON
+        self.baseline = UserItemBaseline()
+        self.corr = None
+        self.attributes = None
+
+    # baseline hyperparameters pass through (reference KNN.cs:71-78)
+    @property
+    def reg_u(self):
+        return self.baseline.reg_u
+
+    @reg_u.setter
+    def reg_u(self, v):
+        self.baseline.reg_u = float(v)
+
+    @property
+    def reg_i(self):
+        return self.baseline.reg_i
+
+    @reg_i.setter
+    def reg_i(self, v):
+        self.baseline.reg_i = float(v)
+
+    @property
+    def num_iter(self):
+        return self.baseline.num_iter
+
+    @num_iter.setter
+    def num_iter(self, v):
+        self.baseline.num_iter = int(v)
+
+    def train(self):
+        self.baseline.ratings = self.ratings
+        self.baseline.train()
+        data = self.ratings
+        if self.ATTRIBUTES:
+            if self.attributes is None:
+                raise ValueError(f"{type(self).__name__} needs attribute data")
+            n = (data.num_users if self.ENTITY == "user" else data.num_items)
+            self.corr = corr_ops.binary_correlation(
+                self.attributes, max(n, self.attributes.num_users),
+                self.attributes.num_items,
+                kind=_BINARY_KIND.get(self.correlation.value, "cosine"),
+                alpha=self.alpha, weighted=self.weighted_binary)
+        elif self.correlation in (RatingCorrelationType.PEARSON,
+                                  RatingCorrelationType.RATING_COSINE):
+            self.corr = corr_ops.rating_correlation(
+                data, entity=self.ENTITY,
+                kind=("pearson" if self.correlation ==
+                      RatingCorrelationType.PEARSON else "cosine"),
+                shrinkage=self.alpha)
+        else:
+            if self.ENTITY == "user":
+                view, n, m = (_EntityView(data.users, data.items),
+                              data.num_users, data.num_items)
+            else:
+                view, n, m = (_EntityView(data.items, data.users),
+                              data.num_items, data.num_users)
+            self.corr = corr_ops.binary_correlation(
+                view, n, m, kind=_BINARY_KIND[self.correlation.value],
+                alpha=self.alpha, weighted=self.weighted_binary)
+
+    def predict_batch(self, users, items):
+        """baseline + sum_w w * (r - baseline) / sum_w over the first K
+        positively correlated co-raters, scanned in correlation order
+        (reference RatingPrediction/UserKNN.Predict :58-93)."""
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        base = self.baseline.predict_batch(users, items)
+        data = self.ratings
+        out = base.astype(np.float64).copy()
+        for n_idx, (u, i) in enumerate(zip(users, items)):
+            u, i = int(u), int(i)
+            if self.ENTITY == "user":
+                if u >= self.corr.shape[0] or i >= data.num_items:
+                    continue
+                co_idx = data.by_item.segment(i)          # ratings of item i
+                raters = data.users[co_idx]
+                w = self.corr[u, raters]
+            else:
+                if i >= self.corr.shape[0] or u >= data.num_users:
+                    continue
+                co_idx = data.by_user.segment(u)          # ratings by user u
+                rated = data.items[co_idx]
+                w = self.corr[i, rated]
+            pos = w > 0
+            if self.ENTITY == "user":
+                pos &= raters != u
+            else:
+                pos &= rated != i
+            if not pos.any():
+                continue
+            w_pos = w[pos]
+            co_pos = co_idx[pos]
+            if self.k != INF_K and w_pos.size > self.k:
+                top = np.argpartition(-w_pos, self.k - 1)[:self.k]
+                w_pos, co_pos = w_pos[top], co_pos[top]
+            r = data.values[co_pos]
+            if self.ENTITY == "user":
+                b = self.baseline.predict_batch(data.users[co_pos],
+                                                np.full(co_pos.size, i))
+            else:
+                b = self.baseline.predict_batch(np.full(co_pos.size, u),
+                                                data.items[co_pos])
+            out[n_idx] += np.sum(w_pos * (r - b)) / np.sum(w_pos)
+        return np.clip(out, self.min_rating, self.max_rating).astype(np.float32)
+
+    def _retrain(self, users, items):
+        if self.corr is not None:
+            self.train()
+
+    def save_model(self, path):
+        self.baseline.ratings = self.ratings
+        self.baseline.save_model(path + "-global-effects")
+        with ModelWriter(path, type(self).__name__, "3.03") as w:
+            w._f.write(f"{self.correlation.value}\n")
+            w.matrix(self.corr)
+
+    def load_model(self, path):
+        self.baseline.load_model(path + "-global-effects")
+        with ModelReader(path, type(self).__name__) as r:
+            name = r._line()
+            self.correlation = next(m for m in RatingCorrelationType
+                                    if m.value == name)
+            self.corr = r.matrix()
+
+
+class UserKNNRating(_RatingKNN):
+    """Reference RatingPrediction/UserKNN.cs:28."""
+    ENTITY = "user"
+
+
+class ItemKNNRating(_RatingKNN):
+    """Reference RatingPrediction/ItemKNN.cs:28."""
+    ENTITY = "item"
+
+
+class UserAttributeKNNRating(_RatingKNN):
+    """Reference RatingPrediction/UserAttributeKNN.cs."""
+    ENTITY = "user"
+    ATTRIBUTES = True
+
+    def __init__(self):
+        super().__init__()
+        self.correlation = RatingCorrelationType.BINARY_COSINE
+
+    @property
+    def user_attributes(self):
+        return self.attributes
+
+    @user_attributes.setter
+    def user_attributes(self, data):
+        self.attributes = data
+
+
+class ItemAttributeKNNRating(_RatingKNN):
+    """Reference RatingPrediction/ItemAttributeKNN.cs."""
+    ENTITY = "item"
+    ATTRIBUTES = True
+
+    def __init__(self):
+        super().__init__()
+        self.correlation = RatingCorrelationType.BINARY_COSINE
+
+    @property
+    def item_attributes(self):
+        return self.attributes
+
+    @item_attributes.setter
+    def item_attributes(self, data):
+        self.attributes = data

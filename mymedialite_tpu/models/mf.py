@@ -150,7 +150,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def _prepare_epoch_data(self):
         data = self.ratings
         self._epoch_data = sgd.prepare_epoch_data(
-            data.users, data.items, data.values, self.batch_size)
+            data.users, data.items, data.values, self.batch_size,
+            shuffle_seed=self.random_seed, num_users=data.num_users,
+            num_items=data.num_items)
         if self.frequency_regularization:
             cu = np.maximum(data.count_by_user, 1).astype(np.float32)
             ci = np.maximum(data.count_by_item, 1).astype(np.float32)
@@ -260,7 +262,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         data = self.ratings
         epoch = sgd.prepare_epoch_data(
             data.users[idx], data.items[idx], data.values[idx],
-            min(self.batch_size, max(len(idx), 1)))
+            min(self.batch_size, max(len(idx), 1)),
+            shuffle_seed=self.random_seed,
+            num_users=data.num_users, num_items=data.num_items)
         if self.frequency_regularization:
             epoch["inv_sqrt_count_user"] = self._epoch_data["inv_sqrt_count_user"]
             epoch["inv_sqrt_count_item"] = self._epoch_data["inv_sqrt_count_item"]

@@ -23,9 +23,26 @@ RATING_PREDICTORS = {
     "MatrixFactorization": "mymedialite_tpu.models.mf:MatrixFactorization",
     "BiasedMatrixFactorization":
         "mymedialite_tpu.models.mf:BiasedMatrixFactorization",
+    "UserKNN": "mymedialite_tpu.models.knn:UserKNNRating",
+    "ItemKNN": "mymedialite_tpu.models.knn:ItemKNNRating",
+    "UserAttributeKNN": "mymedialite_tpu.models.knn:UserAttributeKNNRating",
+    "ItemAttributeKNN": "mymedialite_tpu.models.knn:ItemAttributeKNNRating",
 }
 
-ITEM_RECOMMENDERS = {}
+ITEM_RECOMMENDERS = {
+    "MostPopular": "mymedialite_tpu.models.item_baselines:MostPopular",
+    "Zero": "mymedialite_tpu.models.item_baselines:Zero",
+    "Random": "mymedialite_tpu.models.item_baselines:RandomItem",
+    "BPRMF": "mymedialite_tpu.models.bpr:BPRMF",
+    "MultiCoreBPRMF": "mymedialite_tpu.models.bpr:MultiCoreBPRMF",
+    "WeightedBPRMF": "mymedialite_tpu.models.bpr:WeightedBPRMF",
+    "SoftMarginRankingMF": "mymedialite_tpu.models.bpr:SoftMarginRankingMF",
+    "WRMF": "mymedialite_tpu.models.wrmf:WRMF",
+    "UserKNN": "mymedialite_tpu.models.knn:UserKNN",
+    "ItemKNN": "mymedialite_tpu.models.knn:ItemKNN",
+    "UserAttributeKNN": "mymedialite_tpu.models.knn:UserAttributeKNN",
+    "ItemAttributeKNN": "mymedialite_tpu.models.knn:ItemAttributeKNN",
+}
 
 
 def _create(registry, name: str):

@@ -1,0 +1,68 @@
+"""Batched ALS normal-equation solves for WRMF.
+
+TPU-native replacement for the reference's per-row loop + MathNet dense
+inverse (``WRMF.cs:79-156``): the Gram matrix HtH is one [f,I]x[I,f]
+matmul; per-user systems are assembled from gathered, masked padded
+histories and solved as one batched f x f ``jnp.linalg.solve`` (Cholesky-
+friendly SPD systems; replaces ``DenseMatrix.Inverse()``).
+
+The per-user system (Hu/Koren/Volinsky implicit ALS, confidence
+c = 1 + alpha on observed entries):
+    W[u] = (HtH + alpha * H_S^T H_S + reg*I)^{-1} ((1+alpha) * sum_{i in S} H_i)
+
+Users are processed in fixed-size chunks via lax.map so the gathered
+[chunk, Lmax, f] temporary stays bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wrmf_optimize(H, hist, lens, alpha, reg, *, chunk: int):
+    """Solve all rows of W given the other side's factors H.
+
+    H: [I, f] factors of the fixed side.
+    hist: [U_pad, Lmax] int32 padded per-row histories (pad value
+          arbitrary in-range; masked by lens). U_pad % chunk == 0.
+    lens: [U_pad] int32 true history lengths.
+    Returns W: [U_pad, f].
+    """
+    U, L = hist.shape
+    f = H.shape[1]
+    HH = H.T @ H  # [f, f] Gram over ALL items (reference WRMF.cs:94-108)
+    eye = jnp.eye(f, dtype=H.dtype)
+
+    def solve_chunk(args):
+        h, l = args                     # [C, L], [C]
+        Hs = H[jnp.clip(h, 0, H.shape[0] - 1)]  # [C, L, f]
+        mask = (jnp.arange(L)[None, :] < l[:, None]).astype(H.dtype)
+        Hsm = Hs * mask[..., None]
+        # alpha * H_S^T H_S  (reference HC_minus_IH, WRMF.cs:115-125)
+        M = HH[None] + alpha * jnp.einsum(
+            "clf,clg->cfg", Hsm, Hsm, preferred_element_type=jnp.float32) \
+            + reg * eye[None]
+        b = (1.0 + alpha) * jnp.sum(Hsm, axis=1)  # reference HCp :127-133
+        return jnp.linalg.solve(M, b[..., None])[..., 0]
+
+    W = jax.lax.map(solve_chunk,
+                    (hist.reshape(-1, chunk, L), lens.reshape(-1, chunk)))
+    return W.reshape(U, f)
+
+
+def pad_rows(hist: np.ndarray, lens: np.ndarray, chunk: int):
+    """Pad the user dimension to a multiple of chunk (empty histories)."""
+    U = hist.shape[0]
+    U_pad = ((U + chunk - 1) // chunk) * chunk
+    if U_pad == U:
+        return hist, lens, U
+    hist2 = np.zeros((U_pad, hist.shape[1]), dtype=hist.dtype)
+    hist2[:U] = hist
+    lens2 = np.zeros(U_pad, dtype=lens.dtype)
+    lens2[:U] = lens
+    return hist2, lens2, U

@@ -4,12 +4,24 @@ TPU-native replacement for the reference's sequential per-rating SGD
 inner loops (``MatrixFactorization.cs:166-196``,
 ``BiasedMatrixFactorization.cs:264-309``) and its DSGD multicore
 scheduler (``MultiCore.cs:43-73``): an epoch is a ``lax.scan`` over
-shuffled minibatches; each minibatch gathers factor rows, computes the
-loss gradient, and scatter-adds updates back into the tables. Duplicate
-user/item ids within a minibatch sum their gradients (minibatch SGD) —
+minibatches; each minibatch gathers factor rows, computes the loss
+gradient, and applies updates back into the tables. Duplicate user/item
+ids within a minibatch sum their gradients (minibatch SGD) —
 mathematically the same family of update as the reference's
 block-parallel DSGD, validated by held-out quality rather than
 bit-identical trajectories (SURVEY §7 'hard parts').
+
+Performance notes (measured on v5e):
+- the rating stream is shuffled ONCE on the host (the reference's cached
+  ``RandomIndex``, DataSet.cs:100-108, is likewise shuffled once); per
+  epoch only the batch-visit order is re-randomized, so batches are
+  contiguous dynamic slices, not 20M-element on-device permutations;
+- naive ``.at[ids].add`` scatter with duplicate ids is the bottleneck on
+  TPU. Instead each batch carries host-precomputed dedup structures
+  (unique sorted target rows + a segment id per example); the update is
+  a ``segment_sum`` over examples followed by a scatter-add with
+  ``indices_are_sorted=True, unique_indices=True`` — XLA's fast path.
+  Padding slots use out-of-range row ids which scatter-``drop``s.
 
 All shapes are static: the rating arrays are padded to a multiple of the
 batch size with weight-0 entries.
@@ -33,18 +45,51 @@ def pad_to_batches(n: int, batch_size: int) -> int:
     return ((max(n, 1) + batch_size - 1) // batch_size) * batch_size
 
 
-def prepare_epoch_data(users, items, values, batch_size: int):
-    """Pad COO rating arrays to a multiple of batch_size; returns device-ready
-    dict with an example-weight array (0 on padding)."""
+def _dedup_per_batch(ids: np.ndarray, batch_size: int, num_rows: int):
+    """Per batch: sorted unique target rows (padded with out-of-range
+    sentinels, which scatter-drop) and each example's slot index."""
+    n = ids.shape[0]
+    num_batches = n // batch_size
+    slots = np.empty(n, dtype=np.int32)
+    unique_ids = np.empty(n, dtype=np.int32)
+    for b in range(num_batches):
+        s = slice(b * batch_size, (b + 1) * batch_size)
+        uniq, inv = np.unique(ids[s], return_inverse=True)
+        k = uniq.shape[0]
+        slots[s] = inv
+        unique_ids[s][:k] = uniq
+        # sentinels: strictly increasing, >= num_rows -> dropped by scatter
+        unique_ids[s][k:] = num_rows + np.arange(batch_size - k)
+    return slots, unique_ids
+
+
+def prepare_epoch_data(users, items, values, batch_size: int,
+                       shuffle_seed=0, num_users=None, num_items=None):
+    """Shuffle (host-side, once), pad to a batch multiple, and precompute
+    the per-batch dedup structures. Returns a device-ready dict."""
     n = len(users)
+    users = np.asarray(users, dtype=np.int32)
+    items = np.asarray(items, dtype=np.int32)
+    values = np.asarray(values, dtype=np.float32)
+    if shuffle_seed is not None and n > 1:
+        perm = np.random.default_rng(shuffle_seed).permutation(n)
+        users, items, values = users[perm], items[perm], values[perm]
     n_pad = pad_to_batches(n, batch_size)
     pad = n_pad - n
+    users = np.concatenate([users, np.zeros(pad, np.int32)])
+    items = np.concatenate([items, np.zeros(pad, np.int32)])
+    values = np.concatenate([values, np.zeros(pad, np.float32)])
+    weights = np.concatenate([np.ones(n, np.float32),
+                              np.zeros(pad, np.float32)])
+    U = num_users if num_users is not None else int(users.max()) + 1
+    I = num_items if num_items is not None else int(items.max()) + 1
+    u_slot, u_uniq = _dedup_per_batch(users, batch_size, U)
+    i_slot, i_uniq = _dedup_per_batch(items, batch_size, I)
     return dict(
-        users=jnp.asarray(np.concatenate([users, np.zeros(pad, np.int32)])),
-        items=jnp.asarray(np.concatenate([items, np.zeros(pad, np.int32)])),
-        values=jnp.asarray(np.concatenate([values, np.zeros(pad, np.float32)])),
-        weights=jnp.asarray(np.concatenate(
-            [np.ones(n, np.float32), np.zeros(pad, np.float32)])),
+        users=jnp.asarray(users), items=jnp.asarray(items),
+        values=jnp.asarray(values), weights=jnp.asarray(weights),
+        user_slot=jnp.asarray(u_slot), user_uniq=jnp.asarray(u_uniq),
+        item_slot=jnp.asarray(i_slot), item_uniq=jnp.asarray(i_uniq),
     )
 
 
@@ -60,6 +105,14 @@ def _gradient_common(loss: int, err, sig, rating_range):
     raise ValueError(f"unknown loss {loss}")
 
 
+def _dedup_scatter_add(table, slots, uniq_ids, per_example, batch_size: int):
+    """segment-sum per-example updates by target row, then one sorted-unique
+    scatter-add (out-of-range sentinel rows are dropped)."""
+    seg = jax.ops.segment_sum(per_example, slots, num_segments=batch_size)
+    return table.at[uniq_ids].add(
+        seg, indices_are_sorted=True, unique_indices=True, mode="drop")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("batch_size", "loss", "biased", "update_user",
@@ -68,7 +121,7 @@ def _gradient_common(loss: int, err, sig, rating_range):
 def sgd_epoch(params, data, key, hp, *, batch_size: int, loss: int,
               biased: bool, update_user: bool, update_item: bool,
               frequency_regularization: bool):
-    """One pass over the (shuffled) ratings.
+    """One pass over the (pre-shuffled) ratings.
 
     params: dict with 'user_factors' [U,f], 'item_factors' [I,f],
             'global_bias' scalar; if biased, also 'user_bias' [U],
@@ -80,16 +133,18 @@ def sgd_epoch(params, data, key, hp, *, batch_size: int, loss: int,
     """
     n_pad = data["users"].shape[0]
     num_batches = n_pad // batch_size
-    perm = jax.random.permutation(key, n_pad)
+    # randomize only the batch-visit order per epoch (cheap)
+    batch_order = jax.random.permutation(key, num_batches)
 
     lr = hp["learn_rate"]
 
     def batch_step(p, b):
-        idx = jax.lax.dynamic_slice(perm, (b * batch_size,), (batch_size,))
-        u = data["users"][idx]
-        i = data["items"][idx]
-        v = data["values"][idx]
-        w = data["weights"][idx]
+        start = batch_order[b] * batch_size
+
+        def sl(name):
+            return jax.lax.dynamic_slice(data[name], (start,), (batch_size,))
+
+        u, i, v, w = sl("users"), sl("items"), sl("values"), sl("weights")
 
         wu = p["user_factors"][u]  # [B, f]
         hi = p["item_factors"][i]  # [B, f]
@@ -116,19 +171,25 @@ def sgd_epoch(params, data, key, hp, *, batch_size: int, loss: int,
             reg_i = jnp.full_like(g, hp["reg_i"])
 
         if update_user:
+            u_slot, u_uniq = sl("user_slot"), sl("user_uniq")
             delta_w = lr * (g[:, None] * hi - (w * reg_u)[:, None] * wu)
-            p["user_factors"] = p["user_factors"].at[u].add(delta_w)
+            p["user_factors"] = _dedup_scatter_add(
+                p["user_factors"], u_slot, u_uniq, delta_w, batch_size)
             if biased:
                 delta_bu = hp["bias_learn_rate"] * lr * (
                     g - hp["bias_reg"] * reg_u * w * bu)
-                p["user_bias"] = p["user_bias"].at[u].add(delta_bu)
+                p["user_bias"] = _dedup_scatter_add(
+                    p["user_bias"], u_slot, u_uniq, delta_bu, batch_size)
         if update_item:
+            i_slot, i_uniq = sl("item_slot"), sl("item_uniq")
             delta_h = lr * (g[:, None] * wu - (w * reg_i)[:, None] * hi)
-            p["item_factors"] = p["item_factors"].at[i].add(delta_h)
+            p["item_factors"] = _dedup_scatter_add(
+                p["item_factors"], i_slot, i_uniq, delta_h, batch_size)
             if biased:
                 delta_bi = hp["bias_learn_rate"] * lr * (
                     g - hp["bias_reg"] * reg_i * w * bi)
-                p["item_bias"] = p["item_bias"].at[i].add(delta_bi)
+                p["item_bias"] = _dedup_scatter_add(
+                    p["item_bias"], i_slot, i_uniq, delta_bi, batch_size)
         return p, None
 
     params, _ = jax.lax.scan(batch_step, params,

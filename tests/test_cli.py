@@ -1,0 +1,158 @@
+"""CLI end-to-end tests (counterpart of the reference tier-2 shell
+scripts: tests/test_rating_prediction.sh, test_item_recommendation.sh,
+test_load_save.sh determinism oracle)."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from mymedialite_tpu.cli import item_recommendation, rating_prediction
+
+TRAIN = "/root/reference/tests/example.train"
+TEST = "/root/reference/tests/example.test"
+
+
+def _strip_times(text: str) -> str:
+    # the reference golden tests strip timing fields before diffing
+    # (tests/test_load_save.sh lines 14-31); the load run has no
+    # training_time at all, so remove the whole token
+    return re.sub(r"(training_time|testing_time|loading_time|prediction_time)"
+                  r" [0-9.]+ ?", "", text)
+
+
+@pytest.fixture()
+def implicit_files(tmp_path):
+    # disjoint train/test (u,i) pairs: the reference protocol (and ours,
+    # faithfully) rejects per-user train/test overlap in full-list eval
+    rng = np.random.default_rng(5)
+    pairs = {(int(rng.integers(0, 30)), int(rng.integers(0, 40)))
+             for _ in range(400)}
+    pairs = sorted(pairs)
+    rng.shuffle(pairs)
+    train_pairs, test_pairs = pairs[80:], pairs[:80]
+    train_path = tmp_path / "imp.train"
+    test_path = tmp_path / "imp.test"
+    with open(train_path, "w") as f:
+        for u, i in train_pairs:
+            f.write(f"{u}\t{i}\n")
+    with open(test_path, "w") as f:
+        for u, i in test_pairs:
+            f.write(f"{u}\t{i}\n")
+    return str(train_path), str(test_path)
+
+
+class TestRatingPredictionCLI:
+    def test_basic(self, capsys):
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "UserItemBaseline"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "RMSE" in out and "MAE" in out and "CBD" in out
+        assert out.startswith("UserItemBaseline ")
+
+    def test_find_iter(self, capsys):
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "MatrixFactorization",
+            "--recommender-options", "num_iter=2 batch_size=8",
+            "--find-iter", "1", "--max-iter", "4"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "iteration 2" in out
+        assert "iteration 4" in out
+
+    def test_save_load_determinism(self, tmp_path, capsys):
+        """The reference test_load_save.sh oracle: train+save, then load;
+        stripped outputs must be identical."""
+        model = str(tmp_path / "m.model")
+        rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "BiasedMatrixFactorization",
+            "--recommender-options", "num_iter=3 batch_size=8",
+            "--random-seed", "1", "--save-model", model])
+        out1 = _strip_times(capsys.readouterr().out)
+        rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "BiasedMatrixFactorization",
+            "--recommender-options", "num_iter=3 batch_size=8",
+            "--random-seed", "1", "--load-model", model])
+        out2 = _strip_times(capsys.readouterr().out)
+        assert out1 == out2
+
+    def test_cross_validation(self, capsys):
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--recommender", "UserItemBaseline",
+            "--cross-validation", "2", "--random-seed", "1"])
+        assert rc == 0
+        assert "RMSE" in capsys.readouterr().out
+
+    def test_prediction_file(self, tmp_path, capsys):
+        pred = str(tmp_path / "preds.txt")
+        rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "GlobalAverage", "--prediction-file", pred])
+        capsys.readouterr()
+        lines = open(pred).read().strip().split("\n")
+        assert len(lines) == 4  # example.test has 4 ratings
+        assert all(len(line.split("\t")) == 3 for line in lines)
+
+    def test_test_ratio(self, capsys):
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--recommender", "GlobalAverage",
+            "--test-ratio", "0.25", "--random-seed", "7"])
+        assert rc == 0
+        assert "RMSE" in capsys.readouterr().out
+
+
+class TestItemRecommendationCLI:
+    def test_basic(self, implicit_files, capsys):
+        train, test = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "AUC" in out and "prec@5" in out
+
+    def test_bprmf(self, implicit_files, capsys):
+        train, test = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "BPRMF",
+            "--recommender-options", "num_iter=2 batch_size=64",
+            "--random-seed", "1"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "AUC" in out
+
+    def test_candidate_modes(self, implicit_files, capsys):
+        train, test = implicit_files
+        for flag in ("--all-items", "--in-training-items", "--in-test-items"):
+            rc = item_recommendation.main([
+                "--training-file", train, "--test-file", test,
+                "--recommender", "MostPopular", flag])
+            assert rc == 0
+        capsys.readouterr()
+
+    def test_prediction_file(self, implicit_files, tmp_path, capsys):
+        train, test = implicit_files
+        pred = str(tmp_path / "preds.txt")
+        item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular",
+            "--predict-items-number", "3",
+            "--prediction-file", pred])
+        capsys.readouterr()
+        first = open(pred).readline()
+        assert re.match(r"^\d+\t\[.*:.*\]", first)
+
+    def test_online_eval(self, implicit_files, capsys):
+        train, test = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular", "--online-evaluation"])
+        assert rc == 0
+        assert "AUC" in capsys.readouterr().out

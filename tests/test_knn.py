@@ -1,0 +1,195 @@
+"""Correlation kernel + KNN model tests (counterpart of reference
+Tests/Correlation/* with hand-computed fixtures)."""
+
+import numpy as np
+import pytest
+
+from mymedialite_tpu.data import InteractionData, PosOnlyData, RatingData
+from mymedialite_tpu.ops import correlation as corr_ops
+
+
+class View:
+    def __init__(self, users, items):
+        self.users = np.asarray(users, dtype=np.int32)
+        self.items = np.asarray(items, dtype=np.int32)
+
+
+class TestBinaryCorrelations:
+    # entity 0 has features {0,1,2}; entity 1 has {1,2,3}; overlap = 2
+    def data(self):
+        return View([0, 0, 0, 1, 1, 1], [0, 1, 2, 1, 2, 3])
+
+    def test_cosine(self):
+        c = corr_ops.binary_correlation(self.data(), 2, 4, kind="cosine")
+        assert c[0, 0] == 1.0
+        assert c[0, 1] == pytest.approx(2 / np.sqrt(9), abs=1e-6)
+        assert c[0, 1] == c[1, 0]
+
+    def test_jaccard(self):
+        c = corr_ops.binary_correlation(self.data(), 2, 4, kind="jaccard")
+        assert c[0, 1] == pytest.approx(2 / (3 + 3 - 2), abs=1e-6)
+
+    def test_conditional_probability(self):
+        c = corr_ops.binary_correlation(self.data(), 2, 4,
+                                        kind="conditional_probability")
+        assert c[0, 1] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_cooccurrence(self):
+        c = corr_ops.binary_correlation(self.data(), 2, 4,
+                                        kind="cooccurrence")
+        assert c[0, 1] == pytest.approx(2.0, abs=1e-6)
+        assert c[0, 0] == 1.0  # driver forces diagonal to 1
+
+    def test_bidirectional(self):
+        d = View([0, 0, 1], [0, 1, 0])  # |x|=2, |y|=1, overlap=1
+        c = corr_ops.binary_correlation(
+            d, 2, 2, kind="bidirectional_conditional_probability", alpha=0.5)
+        assert c[0, 1] == pytest.approx((1 / 2) ** 0.5 * (1 / 1) ** 0.5,
+                                        abs=1e-6)
+
+    def test_weighted_cosine(self):
+        # feature weights w = 1/log2(3+freq); reference Overlap.ComputeWeighted
+        # accumulates w^2 into the overlap but w into the entity weights
+        # (Overlap.cs:26-56), so identical feature sets give
+        # sum(w^2)/sqrt(sum(w)*sum(w)) = w, not 1.
+        d = View([0, 0, 1, 1], [0, 1, 0, 1])
+        c = corr_ops.binary_correlation(d, 2, 2, kind="cosine", weighted=True)
+        w = 1.0 / np.log2(3 + 2)
+        assert c[0, 1] == pytest.approx(w, abs=1e-5)
+
+
+class TestPearson:
+    def test_perfect_positive(self):
+        # two users rate 3 common items identically (plus noise-free shift)
+        d = RatingData([0, 0, 0, 1, 1, 1], [0, 1, 2, 0, 1, 2],
+                       [1.0, 2.0, 3.0, 2.0, 3.0, 4.0])
+        c = corr_ops.rating_correlation(d, entity="user", kind="pearson")
+        assert c[0, 1] == pytest.approx(1.0, abs=1e-5)
+
+    def test_oracle_small(self):
+        rng = np.random.default_rng(0)
+        users = np.repeat(np.arange(4), 5)
+        items = np.tile(np.arange(5), 4)
+        vals = rng.integers(1, 6, 20).astype(float)
+        d = RatingData(users, items, vals)
+        c = corr_ops.rating_correlation(d, entity="user", kind="pearson")
+        # oracle: literal single-pass formula (Pearson.cs:91-140)
+        for i in range(4):
+            for j in range(4):
+                if i == j:
+                    continue
+                ri = {int(it): v for it, v in
+                      zip(items[users == i], vals[users == i])}
+                rj = {int(it): v for it, v in
+                      zip(items[users == j], vals[users == j])}
+                common = sorted(set(ri) & set(rj))
+                n = len(common)
+                x = np.array([ri[k] for k in common])
+                y = np.array([rj[k] for k in common])
+                num = n * np.sum(x * y) - x.sum() * y.sum()
+                den = np.sqrt((n * np.sum(x * x) - x.sum() ** 2) *
+                              (n * np.sum(y * y) - y.sum() ** 2))
+                expect = 0.0 if den == 0 or n < 2 else num / den
+                assert c[i, j] == pytest.approx(expect, abs=1e-4)
+
+    def test_shrinkage(self):
+        d = RatingData([0, 0, 1, 1], [0, 1, 0, 1], [1.0, 2.0, 1.0, 2.0])
+        c0 = corr_ops.rating_correlation(d, "user", "pearson", shrinkage=0.0)
+        c1 = corr_ops.rating_correlation(d, "user", "pearson", shrinkage=1.0)
+        # n=2: shrink factor (n-1)/(n-1+1) = 0.5
+        assert c1[0, 1] == pytest.approx(c0[0, 1] * 0.5, abs=1e-5)
+
+
+class TestNearestNeighbors:
+    def test_basic(self):
+        corr = np.array([[1.0, 0.9, 0.1],
+                         [0.9, 1.0, 0.5],
+                         [0.1, 0.5, 1.0]], dtype=np.float32)
+        nn = corr_ops.nearest_neighbors(corr, 2)
+        assert list(nn[0]) == [1, 2]
+        assert list(nn[1]) == [0, 2]
+        assert list(nn[2]) == [1, 0]
+        nn1 = corr_ops.nearest_neighbors(corr, 1)
+        assert list(nn1[2]) == [1]
+
+
+class TestImplicitKNNModels:
+    def feedback(self):
+        return PosOnlyData([0, 0, 1, 1, 2, 2, 3], [0, 1, 0, 1, 2, 3, 3],
+                           num_users=4, num_items=4)
+
+    @pytest.mark.parametrize("name", ["UserKNN", "ItemKNN"])
+    def test_smoke_and_sanity(self, name):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        m = create_item_recommender(name)
+        m.feedback = self.feedback()
+        m.train()
+        # users 0,1 identical -> user 0 should score item 1 high,
+        # items 0,1 co-occur -> same from the item side
+        assert m.predict(0, 1) >= m.predict(0, 3)
+        recs = m.recommend(0, n=2)
+        assert len(recs) == 2
+
+    def test_k_inf(self):
+        from mymedialite_tpu.models.knn import INF_K, UserKNN
+        m = UserKNN()
+        m.k = INF_K
+        m.feedback = self.feedback()
+        m.train()
+        assert np.isfinite(m.predict(0, 1))
+
+    def test_attribute_knn(self):
+        from mymedialite_tpu.models.knn import ItemAttributeKNN
+        m = ItemAttributeKNN()
+        m.feedback = self.feedback()
+        # items 0,1 share attribute 0; items 2,3 share attribute 1
+        m.item_attributes = InteractionData([0, 1, 2, 3], [0, 0, 1, 1])
+        m.train()
+        assert m.corr[0, 1] == pytest.approx(1.0)
+        assert m.corr[0, 2] == pytest.approx(0.0)
+
+
+class TestRatingKNNModels:
+    def ratings(self):
+        users = [0, 0, 0, 1, 1, 1, 2, 2, 2]
+        items = [0, 1, 2, 0, 1, 2, 0, 1, 2]
+        vals = [5.0, 4.0, 1.0, 5.0, 4.0, 1.0, 1.0, 2.0, 5.0]
+        return RatingData(users, items, vals)
+
+    @pytest.mark.parametrize("name", ["UserKNN", "ItemKNN"])
+    def test_smoke(self, name):
+        from mymedialite_tpu.models.registry import create_rating_predictor
+        m = create_rating_predictor(name)
+        m.ratings = self.ratings()
+        m.train()
+        p = m.predict(0, 0)
+        assert m.min_rating <= p <= m.max_rating
+
+    def test_user_knn_uses_neighbors(self):
+        # users 0 and 1 agree perfectly; user 2 disagrees.
+        # prediction for user 0 should be pulled toward user 1's ratings.
+        from mymedialite_tpu.models.registry import create_rating_predictor
+        data = RatingData([0, 0, 1, 1, 1, 2, 2, 2],
+                          [0, 1, 0, 1, 2, 0, 1, 2],
+                          [5.0, 4.0, 5.0, 4.0, 5.0, 1.0, 2.0, 1.0])
+        m = create_rating_predictor("UserKNN")
+        m.ratings = data
+        m.train()
+        # user 0 hasn't rated item 2; neighbor user 1 rated it 5
+        assert m.predict(0, 2) > m.predict(2, 2)
+
+    def test_save_load(self, tmp_path):
+        from mymedialite_tpu.models.registry import create_rating_predictor
+        m = create_rating_predictor("ItemKNN")
+        m.ratings = self.ratings()
+        m.train()
+        users = np.array([0, 1, 2])
+        items = np.array([2, 0, 1])
+        before = m.predict_batch(users, items)
+        path = str(tmp_path / "knn.model")
+        m.save_model(path)
+        m2 = create_rating_predictor("ItemKNN")
+        m2.ratings = self.ratings()
+        m2.load_model(path)
+        np.testing.assert_allclose(before, m2.predict_batch(users, items),
+                                   atol=1e-5)

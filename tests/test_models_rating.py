@@ -158,12 +158,22 @@ class TestSaveLoadRoundTrip:
     """The determinism oracle (reference tests/test_load_save.sh and
     ItemRecommendersTest.cs:62+): save -> load -> identical predictions."""
 
+    @staticmethod
+    def _give_attributes(m):
+        from mymedialite_tpu.data import InteractionData
+        if hasattr(m, "user_attributes"):
+            m.user_attributes = InteractionData([0, 1, 2, 3, 4],
+                                                [0, 1, 0, 1, 0])
+        if hasattr(m, "item_attributes"):
+            m.item_attributes = InteractionData([0, 1, 2, 3], [0, 0, 1, 1])
+
     @pytest.mark.parametrize("name", [n for n in list_rating_predictors()
                                       if n not in ("Random",)])
     def test_roundtrip(self, name, tmp_path):
         train = small_ratings()
         m = create_rating_predictor(name)
         m.ratings = train
+        self._give_attributes(m)
         if hasattr(m, "num_iter"):
             m.num_iter = 2
         if hasattr(m, "batch_size"):
@@ -178,6 +188,7 @@ class TestSaveLoadRoundTrip:
 
         m2 = create_rating_predictor(name)
         m2.ratings = train
+        self._give_attributes(m2)
         m2.load_model(path)
         after = m2.predict_batch(users, items)
         np.testing.assert_allclose(before, after, rtol=0, atol=1e-6)
