@@ -7,9 +7,13 @@ biases + sigmoid-squashed prediction, selectable RMSE/MAE/LogisticLoss,
 frequency regularization, bold-driver learn-rate adaptation).
 
 The reference's sequential per-rating SGD and its DSGD multicore path
-both become jitted minibatch-SGD epochs (ops/sgd.py); the reference's
-``max_threads``/``naive_parallelization`` knobs are accepted for CLI
-compatibility but parallelism comes from XLA + (multi-chip) sharding.
+both become jitted blocked minibatch-SGD epochs (ops/sgd.py,
+``sgd_epoch_blocked``): biases live as fused extra columns of the factor
+tables ([factors | b_u | 1] x [factors | 1 | b_i]), the user table is
+processed through VMEM-resident slabs of contiguous user-id groups, and
+the item table stays resident. The reference's ``max_threads`` /
+``naive_parallelization`` knobs are accepted for CLI compatibility;
+parallelism comes from XLA + (multi-chip) sharding.
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         "init_mean": float,
         "init_stdev": float,
         "batch_size": int,
+        "group_users": int,
     }
 
     BIASED = False
@@ -72,12 +77,15 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.num_iter = 30
         self.init_mean = 0.0
         self.init_stdev = 0.1
-        self.batch_size = 8192  # TPU-specific: SGD minibatch size
+        self.batch_size = 131_072   # TPU-specific: SGD minibatch size
+        self.group_users = 16_384   # TPU-specific: user-slab rows
         self.random_seed = 42
 
-        self.params = None          # device pytree
+        self.W_ext = None           # [U_pad, f+2] fused user table
+        self.H_ext = None           # [I, f+2] fused item table
+        self.global_bias = 0.0
         self.current_learnrate = None
-        self._epoch_data = None
+        self._blocked = None
         self._key = None
 
     # --- hyperparameter plumbing ---
@@ -108,15 +116,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
 
     def _hp(self):
         rng = max(self.max_rating - self.min_rating, 1e-9)
-        return dict(
-            learn_rate=jnp.float32(self.current_learnrate),
-            reg_u=jnp.float32(self.reg_u),
-            reg_i=jnp.float32(self.reg_i),
-            bias_reg=jnp.float32(getattr(self, "bias_reg", 0.0)),
-            bias_learn_rate=jnp.float32(getattr(self, "bias_learn_rate", 1.0)),
-            min_rating=jnp.float32(self.min_rating),
-            rating_range=jnp.float32(rng),
-        )
+        return dict(global_bias=jnp.float32(self.global_bias),
+                    min_rating=jnp.float32(self.min_rating),
+                    rating_range=jnp.float32(rng))
 
     # --- model init / training ---
 
@@ -130,57 +132,89 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         key = jax.random.PRNGKey(self.random_seed)
         self._key, ku, ki = jax.random.split(key, 3)
         U, I, f = data.num_users, data.num_items, self.num_factors
-        wu = self.init_mean + self.init_stdev * jax.random.normal(
-            ku, (U, f), dtype=jnp.float32)
-        hi = self.init_mean + self.init_stdev * jax.random.normal(
-            ki, (I, f), dtype=jnp.float32)
-        seen_u = jnp.asarray(data.count_by_user > 0)
-        seen_i = jnp.asarray(data.count_by_item > 0)
-        wu = jnp.where(seen_u[:, None], wu, 0.0)
-        hi = jnp.where(seen_i[:, None], hi, 0.0)
-        self.params = dict(
-            global_bias=jnp.float32(self._init_global_bias()),
-            user_factors=wu, item_factors=hi)
-        if self.BIASED:
-            self.params["user_bias"] = jnp.zeros(U, dtype=jnp.float32)
-            self.params["item_bias"] = jnp.zeros(I, dtype=jnp.float32)
+        wu = self.init_mean + self.init_stdev * np.array(
+            jax.random.normal(ku, (U, f), dtype=jnp.float32))
+        hi = self.init_mean + self.init_stdev * np.array(
+            jax.random.normal(ki, (I, f), dtype=jnp.float32))
+        wu[data.count_by_user == 0] = 0.0
+        hi[data.count_by_item == 0] = 0.0
+        self.W_ext, self.H_ext = sgd.extend_tables(
+            wu, hi, group_users=self.group_users)
+        self.global_bias = self._init_global_bias()
         self.current_learnrate = self.learn_rate
         self._prepare_epoch_data()
 
     def _prepare_epoch_data(self):
         data = self.ratings
-        self._epoch_data = sgd.prepare_epoch_data(
-            data.users, data.items, data.values, self.batch_size,
-            shuffle_seed=self.random_seed, num_users=data.num_users,
-            num_items=data.num_items)
+        self._blocked, self._bmeta = sgd.prepare_blocked_data(
+            data.users, data.items, data.values, data.num_users,
+            self.batch_size, self.group_users, shuffle_seed=self.random_seed)
         if self.frequency_regularization:
-            cu = np.maximum(data.count_by_user, 1).astype(np.float32)
+            U_pad = self.W_ext.shape[0] if self.W_ext is not None else \
+                self._bmeta["ngroups"] * self._bmeta["group_users"]
+            cu = np.zeros(U_pad, np.float32)
+            cu[:data.num_users] = data.count_by_user
             ci = np.maximum(data.count_by_item, 1).astype(np.float32)
-            self._epoch_data["inv_sqrt_count_user"] = jnp.asarray(1.0 / np.sqrt(cu))
-            self._epoch_data["inv_sqrt_count_item"] = jnp.asarray(1.0 / np.sqrt(ci))
-        self._counts = dict(count_user=jnp.asarray(self.ratings.count_by_user),
-                            count_item=jnp.asarray(self.ratings.count_by_item))
+            self._freq = (jnp.asarray(1.0 / np.sqrt(np.maximum(cu, 1.0))),
+                          jnp.asarray(1.0 / np.sqrt(ci)))
+        else:
+            self._freq = (jnp.zeros(0), jnp.zeros(0))
+        self._flat_cache = None
+
+    def _flat_data(self):
+        """Flat epoch-data view, used by the objective computation."""
+        if self._flat_cache is None:
+            data = self.ratings
+            self._flat_cache = sgd.prepare_epoch_data(
+                data.users, data.items, data.values, self.batch_size,
+                shuffle_seed=None, num_users=data.num_users,
+                num_items=data.num_items)
+            self._counts = dict(
+                count_user=jnp.asarray(data.count_by_user),
+                count_item=jnp.asarray(data.count_by_item))
+        return self._flat_cache
 
     def train(self):
         self.init_model()
         for _ in range(self.num_iter):
             self.iterate()
 
-    def iterate(self):
+    def iterate(self, update_user: bool = True, update_item: bool = True):
         self._key, sub = jax.random.split(self._key)
-        self.params = sgd.sgd_epoch(
-            self.params, self._epoch_data, sub, self._hp(),
-            batch_size=self.batch_size, loss=self.loss_id, biased=self.BIASED,
-            update_user=True, update_item=True,
+        rates = sgd.column_rates(
+            self.num_factors, self.current_learnrate, self.reg_u, self.reg_i,
+            getattr(self, "bias_learn_rate", 1.0),
+            getattr(self, "bias_reg", 0.0), self.BIASED,
+            update_user, update_item)
+        self.W_ext, self.H_ext = sgd.sgd_epoch_blocked(
+            self.W_ext, self.H_ext, self._blocked, sub, self._hp(), rates,
+            self._freq, meta=tuple(sorted(self._bmeta.items())),
+            loss=self.loss_id, biased=self.BIASED,
             frequency_regularization=self.frequency_regularization)
         self.update_learn_rate()
 
     def update_learn_rate(self):
         self.current_learnrate *= self.learn_rate_decay
 
+    def _params_dict(self):
+        f = self.num_factors
+        U = self.num_users_trained
+        return dict(
+            global_bias=jnp.float32(self.global_bias),
+            user_factors=self.W_ext[:U, :f],
+            item_factors=self.H_ext[:, :f],
+            user_bias=self.W_ext[:U, f],
+            item_bias=self.H_ext[:, f + 1])
+
     def compute_objective(self) -> float:
+        data = self._flat_data()
+        hp = dict(self._hp(),
+                  learn_rate=jnp.float32(self.current_learnrate),
+                  reg_u=jnp.float32(self.reg_u),
+                  reg_i=jnp.float32(self.reg_i),
+                  bias_reg=jnp.float32(getattr(self, "bias_reg", 0.0)))
         return float(sgd.mf_objective(
-            self.params, self._epoch_data, self._hp(), self._counts,
+            self._params_dict(), data, hp, self._counts,
             loss=self.loss_id, biased=self.BIASED,
             frequency_regularization=self.frequency_regularization))
 
@@ -189,20 +223,22 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def _scores(self, users, items):
         """Raw (unbounded) scores for id arrays; out-of-range ids contribute
         only the global bias (reference Predict bounds checks)."""
-        p = self.params
-        U = p["user_factors"].shape[0]
-        I = p["item_factors"].shape[0]
+        U = self.num_users_trained
+        I = self.H_ext.shape[0]
         u = jnp.asarray(users, dtype=jnp.int32)
         i = jnp.asarray(items, dtype=jnp.int32)
-        uc = jnp.clip(u, 0, U - 1)
+        uc = jnp.clip(u, 0, self.W_ext.shape[0] - 1)
         ic = jnp.clip(i, 0, I - 1)
         u_ok = (u >= 0) & (u < U)
         i_ok = (i >= 0) & (i < I)
-        dot = jnp.sum(p["user_factors"][uc] * p["item_factors"][ic], axis=-1)
-        score = p["global_bias"] + jnp.where(u_ok & i_ok, dot, 0.0)
+        f = self.num_factors
+        wu = self.W_ext[uc]
+        hi = self.H_ext[ic]
+        dot = jnp.sum(wu[:, :f] * hi[:, :f], axis=-1)
+        score = self.global_bias + jnp.where(u_ok & i_ok, dot, 0.0)
         if self.BIASED:
-            score = score + jnp.where(u_ok, p["user_bias"][uc], 0.0)
-            score = score + jnp.where(i_ok, p["item_bias"][ic], 0.0)
+            score = score + jnp.where(u_ok, wu[:, f], 0.0)
+            score = score + jnp.where(i_ok, hi[:, f + 1], 0.0)
         return score
 
     def _bound(self, score):
@@ -212,41 +248,43 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         return np.asarray(self._bound(self._scores(users, items)))
 
     def score_catalog(self, users):
-        p = self.params
         u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0,
-                     p["user_factors"].shape[0] - 1)
-        score = p["global_bias"] + p["user_factors"][u] @ p["item_factors"].T
+                     self.W_ext.shape[0] - 1)
         if self.BIASED:
-            score = score + p["user_bias"][u][:, None] + p["item_bias"][None, :]
+            # fused dot includes both biases
+            score = self.global_bias + self.W_ext[u] @ self.H_ext.T
+        else:
+            f = self.num_factors
+            score = self.global_bias + \
+                self.W_ext[u, :f] @ self.H_ext[:, :f].T
         return np.asarray(self._bound(score))
 
     # --- incremental updates (reference MatrixFactorization.cs:262-320) ---
 
     def add_user(self, user_id):
         super().add_user(user_id)
-        grow = user_id + 1 - self.params["user_factors"].shape[0]
+        grow = user_id + 1 - self.W_ext.shape[0]
         if grow > 0:
-            f = self.params["user_factors"].shape[1]
-            self.params["user_factors"] = jnp.concatenate(
-                [self.params["user_factors"], jnp.zeros((grow, f))], axis=0)
-            if self.BIASED:
-                self.params["user_bias"] = jnp.concatenate(
-                    [self.params["user_bias"], jnp.zeros(grow)])
+            G = self._bmeta["group_users"]
+            grow = ((grow + G - 1) // G) * G
+            fe = self.W_ext.shape[1]
+            pad = np.zeros((grow, fe), np.float32)
+            pad[:, fe - 1] = 1.0
+            self.W_ext = jnp.concatenate([self.W_ext, jnp.asarray(pad)])
 
     def add_item(self, item_id):
         super().add_item(item_id)
-        grow = item_id + 1 - self.params["item_factors"].shape[0]
+        grow = item_id + 1 - self.H_ext.shape[0]
         if grow > 0:
-            f = self.params["item_factors"].shape[1]
-            self.params["item_factors"] = jnp.concatenate(
-                [self.params["item_factors"], jnp.zeros((grow, f))], axis=0)
-            if self.BIASED:
-                self.params["item_bias"] = jnp.concatenate(
-                    [self.params["item_bias"], jnp.zeros(grow)])
+            fe = self.H_ext.shape[1]
+            pad = np.zeros((grow, fe), np.float32)
+            pad[:, fe - 2] = 1.0
+            self.H_ext = jnp.concatenate([self.H_ext, jnp.asarray(pad)])
 
     def _retrain(self, users, items):
-        if self.params is None:
+        if self.W_ext is None:
             return
+        self._prepare_epoch_data()
         for u in np.unique(np.asarray(users, dtype=np.int64)):
             self.add_user(int(u))
             if self.update_users:
@@ -256,113 +294,109 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             if self.update_items:
                 self.retrain_item(int(i))
 
-    def _learn_rows(self, idx, update_user, update_item):
-        """num_iter SGD passes over a subset of ratings (reference
-        LearnFactors on ByUser/ByItem index lists)."""
-        data = self.ratings
-        epoch = sgd.prepare_epoch_data(
-            data.users[idx], data.items[idx], data.values[idx],
-            min(self.batch_size, max(len(idx), 1)),
-            shuffle_seed=self.random_seed,
-            num_users=data.num_users, num_items=data.num_items)
-        if self.frequency_regularization:
-            epoch["inv_sqrt_count_user"] = self._epoch_data["inv_sqrt_count_user"]
-            epoch["inv_sqrt_count_item"] = self._epoch_data["inv_sqrt_count_item"]
-        lr = self.learn_rate
-        hp = self._hp()
-        for _ in range(self.num_iter):
-            hp = dict(hp, learn_rate=jnp.float32(lr))
-            self._key, sub = jax.random.split(self._key)
-            self.params = sgd.sgd_epoch(
-                self.params, epoch, sub, hp,
-                batch_size=int(epoch["users"].shape[0]), loss=self.loss_id,
-                biased=self.BIASED, update_user=update_user,
-                update_item=update_item,
-                frequency_regularization=self.frequency_regularization)
-            lr *= self.learn_rate_decay
+    def _fresh_row(self, num_cols, bias_col):
+        self._key, sub = jax.random.split(self._key)
+        row = np.zeros(num_cols, np.float32)
+        row[:self.num_factors] = self.init_mean + self.init_stdev * np.asarray(
+            jax.random.normal(sub, (self.num_factors,), dtype=jnp.float32))
+        row[bias_col] = 1.0
+        return jnp.asarray(row)
 
     def retrain_user(self, user_id):
-        """Fresh row init + num_iter SGD over the user's ratings
-        (reference RetrainUser, MatrixFactorization.cs:142-150)."""
-        self._prepare_epoch_data()
-        self._key, sub = jax.random.split(self._key)
-        row = self.init_mean + self.init_stdev * jax.random.normal(
-            sub, (self.num_factors,), dtype=jnp.float32)
-        self.params["user_factors"] = self.params["user_factors"].at[user_id].set(row)
-        if self.BIASED:
-            self.params["user_bias"] = self.params["user_bias"].at[user_id].set(0.0)
+        """Fresh row init + num_iter SGD passes over just this user's
+        ratings, item side frozen (reference RetrainUser,
+        MatrixFactorization.cs:142-150)."""
+        fe = self.W_ext.shape[1]
+        self.W_ext = self.W_ext.at[user_id].set(self._fresh_row(fe, fe - 1))
         idx = self.ratings.by_user.segment(user_id)
-        if idx.size:
-            self._learn_rows(idx, True, False)
+        if idx.size == 0:
+            return
+        items = jnp.asarray(self.ratings.items[idx])
+        vals = jnp.asarray(self.ratings.values[idx])
+        H_rows = self.H_ext[items]
+        row = self.W_ext[user_id]
+        row = _learn_row(row, H_rows, vals, self.num_factors,
+                         self.num_iter, self.learn_rate,
+                         self.learn_rate_decay, self.reg_u,
+                         getattr(self, "bias_learn_rate", 1.0),
+                         getattr(self, "bias_reg", 0.0),
+                         jnp.float32(self.global_bias),
+                         jnp.float32(self.min_rating),
+                         jnp.float32(max(self.max_rating - self.min_rating,
+                                         1e-9)),
+                         biased=self.BIASED, loss=self.loss_id,
+                         frozen_col=fe - 1, bias_col=fe - 2)
+        self.W_ext = self.W_ext.at[user_id].set(row)
 
     def retrain_item(self, item_id):
-        self._prepare_epoch_data()
-        self._key, sub = jax.random.split(self._key)
-        row = self.init_mean + self.init_stdev * jax.random.normal(
-            sub, (self.num_factors,), dtype=jnp.float32)
-        self.params["item_factors"] = self.params["item_factors"].at[item_id].set(row)
-        if self.BIASED:
-            self.params["item_bias"] = self.params["item_bias"].at[item_id].set(0.0)
+        fe = self.H_ext.shape[1]
+        self.H_ext = self.H_ext.at[item_id].set(self._fresh_row(fe, fe - 2))
         idx = self.ratings.by_item.segment(item_id)
-        if idx.size:
-            self._learn_rows(idx, False, True)
+        if idx.size == 0:
+            return
+        users = jnp.asarray(self.ratings.users[idx])
+        vals = jnp.asarray(self.ratings.values[idx])
+        W_rows = self.W_ext[users]
+        row = self.H_ext[item_id]
+        row = _learn_row(row, W_rows, vals, self.num_factors,
+                         self.num_iter, self.learn_rate,
+                         self.learn_rate_decay, self.reg_i,
+                         getattr(self, "bias_learn_rate", 1.0),
+                         getattr(self, "bias_reg", 0.0),
+                         jnp.float32(self.global_bias),
+                         jnp.float32(self.min_rating),
+                         jnp.float32(max(self.max_rating - self.min_rating,
+                                         1e-9)),
+                         biased=self.BIASED, loss=self.loss_id,
+                         frozen_col=fe - 2, bias_col=fe - 1)
+        self.H_ext = self.H_ext.at[item_id].set(row)
 
     def remove_user(self, user_id):
         super().remove_user(user_id)
-        self.params["user_factors"] = \
-            self.params["user_factors"].at[user_id].set(0.0)
-        if self.BIASED:
-            self.params["user_bias"] = self.params["user_bias"].at[user_id].set(0.0)
+        fe = self.W_ext.shape[1]
+        row = np.zeros(fe, np.float32)
+        row[fe - 1] = 1.0
+        self.W_ext = self.W_ext.at[user_id].set(jnp.asarray(row))
 
     def remove_item(self, item_id):
         super().remove_item(item_id)
-        self.params["item_factors"] = \
-            self.params["item_factors"].at[item_id].set(0.0)
-        if self.BIASED:
-            self.params["item_bias"] = self.params["item_bias"].at[item_id].set(0.0)
+        fe = self.H_ext.shape[1]
+        row = np.zeros(fe, np.float32)
+        row[fe - 2] = 1.0
+        self.H_ext = self.H_ext.at[item_id].set(jnp.asarray(row))
 
     # --- fold-in (reference MatrixFactorization.cs:326-352) ---
 
-    def _fold_in_vector(self, rated_items):
-        """Learn a factor vector for an unseen user by SGD against the
-        (frozen) item factors."""
+    def score_items_foldin(self, rated_items, candidates):
         items = jnp.asarray([i for i, _ in rated_items], dtype=jnp.int32)
         values = jnp.asarray([v for _, v in rated_items], dtype=jnp.float32)
-        H = self.params["item_factors"][items]  # [m, f]
-        bias = self._foldin_item_bias(items)
-        self._key, sub = jax.random.split(self._key)
-        vec = self.init_mean + self.init_stdev * jax.random.normal(
-            sub, (self.num_factors,), dtype=jnp.float32)
-        lr = self.learn_rate
-        for _ in range(self.num_iter):
-            pred = self._foldin_predict(vec, H, bias)
-            err = values - pred
-            grad = err[:, None] * H - self.regularization * vec[None, :]
-            vec = vec + lr * jnp.sum(grad, axis=0)
-            lr *= self.learn_rate_decay
-        return vec
-
-    def _foldin_item_bias(self, items):
-        return jnp.zeros(items.shape[0], dtype=jnp.float32)
-
-    def _foldin_predict(self, vec, H, bias):
-        return self.params["global_bias"] + H @ vec
-
-    def score_items_foldin(self, rated_items, candidates):
-        vec = self._fold_in_vector(rated_items)
+        fe = self.W_ext.shape[1]
+        row = self._fresh_row(fe, fe - 1)
+        row = _learn_row(row, self.H_ext[items], values, self.num_factors,
+                         self.num_iter, self.learn_rate,
+                         self.learn_rate_decay, self.regularization,
+                         getattr(self, "bias_learn_rate", 1.0),
+                         getattr(self, "bias_reg", 0.0),
+                         jnp.float32(self.global_bias),
+                         jnp.float32(self.min_rating),
+                         jnp.float32(max(self.max_rating - self.min_rating,
+                                         1e-9)),
+                         biased=self.BIASED, loss=self.loss_id,
+                         frozen_col=fe - 1, bias_col=fe - 2)
         cand = jnp.asarray(list(candidates), dtype=jnp.int32)
-        H = self.params["item_factors"][cand]
-        scores = self._bound(self._foldin_predict(
-            vec, H, self._foldin_item_bias(cand)))
+        score = self.global_bias + self.H_ext[cand] @ row
+        scores = self._bound(score)
         return [(int(i), float(s)) for i, s in zip(cand, np.asarray(scores))]
 
     # --- persistence (reference MatrixFactorization SaveModel/LoadModel) ---
 
     def save_model(self, path):
+        wu, hi, _, _ = sgd.split_tables(self.W_ext, self.H_ext,
+                                        self.num_users_trained)
         with ModelWriter(path, type(self).__name__, "2.99") as w:
-            w.scalar(float(self.params["global_bias"]))
-            w.matrix(np.asarray(self.params["user_factors"]))
-            w.matrix(np.asarray(self.params["item_factors"]))
+            w.scalar(self.global_bias)
+            w.matrix(wu)
+            w.matrix(hi)
 
     def load_model(self, path):
         with ModelReader(path, type(self).__name__) as r:
@@ -374,11 +408,53 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.num_factors = wu.shape[1]
         self.num_users_trained = wu.shape[0]
         self.num_items_trained = hi.shape[0]
-        self.params = dict(global_bias=jnp.float32(gb),
-                           user_factors=jnp.asarray(wu),
-                           item_factors=jnp.asarray(hi))
+        self.global_bias = gb
+        self.W_ext, self.H_ext = sgd.extend_tables(
+            wu, hi, group_users=self.group_users)
         self.current_learnrate = self.learn_rate
         self._key = jax.random.PRNGKey(self.random_seed)
+        self._bmeta = dict(ngroups=self.W_ext.shape[0] // min(
+            self.group_users, max(wu.shape[0], 1)),
+            group_users=min(self.group_users, max(wu.shape[0], 1)),
+            batch=self.batch_size, l_pad=0)
+
+
+@jax.jit
+def _sigmoid_pred(score, min_rating, rating_range):
+    return min_rating + jax.nn.sigmoid(score) * rating_range
+
+
+def _learn_row(row, other_rows, values, num_factors, num_iter, learn_rate,
+               decay, reg, bias_lr, bias_reg, global_bias, min_rating,
+               rating_range, *, biased, loss, frozen_col, bias_col):
+    """num_iter minibatch updates of a single fused row against frozen
+    counterpart rows (reference LearnFactors on ByUser/ByItem lists +
+    FoldIn, MatrixFactorization.cs:142-160, 326-352)."""
+    f = num_factors
+    fe = row.shape[0]
+    lr_vec = np.full(fe, float(learn_rate), np.float32)
+    lr_vec[frozen_col] = 0.0
+    lr_vec[bias_col] = float(bias_lr) * float(learn_rate) if biased else 0.0
+    reg_vec = np.full(fe, float(reg), np.float32)
+    reg_vec[frozen_col] = 0.0
+    reg_vec[bias_col] = float(bias_reg) * float(reg) if biased else 0.0
+    lr_vec = jnp.asarray(lr_vec)
+    reg_vec = jnp.asarray(reg_vec)
+    lr_scale = 1.0
+    for _ in range(num_iter):
+        score = other_rows @ row
+        if biased:
+            sig = jax.nn.sigmoid(score + global_bias)
+            pred = min_rating + sig * rating_range
+            err = values - pred
+            g = sgd._gradient_common(loss, err, sig, rating_range)
+        else:
+            g = values - (score + global_bias)
+        grad = jnp.sum(g[:, None] * other_rows, axis=0) \
+            - values.shape[0] * reg_vec * row
+        row = row + lr_scale * lr_vec * grad
+        lr_scale *= decay
+    return row
 
 
 class BiasedMatrixFactorization(MatrixFactorization):
@@ -406,6 +482,7 @@ class BiasedMatrixFactorization(MatrixFactorization):
         "init_mean": float,
         "init_stdev": float,
         "batch_size": int,
+        "group_users": int,
     }
 
     BIASED = True
@@ -418,7 +495,7 @@ class BiasedMatrixFactorization(MatrixFactorization):
         self.frequency_regularization = False
         self.bold_driver = False
         self.loss = OptimizationTarget.RMSE
-        self.max_threads = 1              # accepted for CLI compat; XLA parallelizes
+        self.max_threads = 1              # accepted for CLI compat
         self.naive_parallelization = False
         self._last_loss = -math.inf
 
@@ -475,65 +552,19 @@ class BiasedMatrixFactorization(MatrixFactorization):
         rng = max(self.max_rating - self.min_rating, 1e-9)
         return self.min_rating + jax.nn.sigmoid(score) * rng
 
-    def _foldin_item_bias(self, items):
-        return self.params["item_bias"][items]
-
-    def _foldin_predict(self, vec, H, bias):
-        # fold-in trains against the *bounded* sigmoid prediction
-        rng = max(self.max_rating - self.min_rating, 1e-9)
-        score = self.params["global_bias"] + bias + H @ vec
-        return self.min_rating + jax.nn.sigmoid(score) * rng
-
-    def _fold_in_vector(self, rated_items):
-        """BiasedMF fold-in learns bias + factors with the sigmoid loss
-        (reference BiasedMatrixFactorization fold-in path)."""
-        items = jnp.asarray([i for i, _ in rated_items], dtype=jnp.int32)
-        values = jnp.asarray([v for _, v in rated_items], dtype=jnp.float32)
-        H = self.params["item_factors"][items]
-        bias = self.params["item_bias"][items]
-        rng = max(self.max_rating - self.min_rating, 1e-9)
-        self._key, sub = jax.random.split(self._key)
-        vec = self.init_mean + self.init_stdev * jax.random.normal(
-            sub, (self.num_factors,), dtype=jnp.float32)
-        b_u = jnp.float32(0.0)
-        lr = self.learn_rate
-        for _ in range(self.num_iter):
-            score = self.params["global_bias"] + b_u + bias + H @ vec
-            sig = jax.nn.sigmoid(score)
-            err = values - (self.min_rating + sig * rng)
-            g = sgd._gradient_common(self.loss_id, err, sig, rng)
-            b_u = b_u + self.bias_learn_rate * lr * jnp.sum(
-                g - self.bias_reg * self.reg_u * b_u)
-            grad = g[:, None] * H - self.reg_u * vec[None, :]
-            vec = vec + lr * jnp.sum(grad, axis=0)
-            lr *= self.learn_rate_decay
-        self._foldin_bias = b_u
-        return vec
-
-    def _foldin_user_bias(self):
-        return getattr(self, "_foldin_bias", jnp.float32(0.0))
-
-    def score_items_foldin(self, rated_items, candidates):
-        vec = self._fold_in_vector(rated_items)
-        cand = jnp.asarray(list(candidates), dtype=jnp.int32)
-        H = self.params["item_factors"][cand]
-        rng = max(self.max_rating - self.min_rating, 1e-9)
-        score = self.params["global_bias"] + self._foldin_user_bias() + \
-            self.params["item_bias"][cand] + H @ vec
-        scores = self.min_rating + jax.nn.sigmoid(score) * rng
-        return [(int(i), float(s)) for i, s in zip(cand, np.asarray(scores))]
-
     # persistence (reference BiasedMatrixFactorization.cs:339-402)
 
     def save_model(self, path):
+        wu, hi, bu, bi = sgd.split_tables(self.W_ext, self.H_ext,
+                                          self.num_users_trained)
         with ModelWriter(path, type(self).__name__, "2.99") as w:
-            w.scalar(float(self.params["global_bias"]))
+            w.scalar(self.global_bias)
             w.scalar(self.min_rating)
             w.scalar(self.max_rating)
-            w.vector(np.asarray(self.params["user_bias"]))
-            w.matrix(np.asarray(self.params["user_factors"]))
-            w.vector(np.asarray(self.params["item_bias"]))
-            w.matrix(np.asarray(self.params["item_factors"]))
+            w.vector(bu)
+            w.matrix(wu)
+            w.vector(bi)
+            w.matrix(hi)
 
     def load_model(self, path):
         with ModelReader(path, type(self).__name__) as r:
@@ -551,10 +582,12 @@ class BiasedMatrixFactorization(MatrixFactorization):
         self.num_factors = wu.shape[1]
         self.num_users_trained = wu.shape[0]
         self.num_items_trained = hi.shape[0]
-        self.params = dict(global_bias=jnp.float32(gb),
-                           user_factors=jnp.asarray(wu),
-                           item_factors=jnp.asarray(hi),
-                           user_bias=jnp.asarray(bu),
-                           item_bias=jnp.asarray(bi))
+        self.global_bias = gb
+        self.W_ext, self.H_ext = sgd.extend_tables(
+            wu, hi, bu, bi, group_users=self.group_users)
         self.current_learnrate = self.learn_rate
         self._key = jax.random.PRNGKey(self.random_seed)
+        self._bmeta = dict(ngroups=self.W_ext.shape[0] // min(
+            self.group_users, max(wu.shape[0], 1)),
+            group_users=min(self.group_users, max(wu.shape[0], 1)),
+            batch=self.batch_size, l_pad=0)

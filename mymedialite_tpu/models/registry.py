@@ -23,6 +23,14 @@ RATING_PREDICTORS = {
     "MatrixFactorization": "mymedialite_tpu.models.mf:MatrixFactorization",
     "BiasedMatrixFactorization":
         "mymedialite_tpu.models.mf:BiasedMatrixFactorization",
+    "SVDPlusPlus": "mymedialite_tpu.models.svdpp:SVDPlusPlus",
+    "SigmoidSVDPlusPlus": "mymedialite_tpu.models.svdpp:SigmoidSVDPlusPlus",
+    "SigmoidItemAsymmetricFactorModel":
+        "mymedialite_tpu.models.svdpp:SigmoidItemAsymmetricFactorModel",
+    "SigmoidUserAsymmetricFactorModel":
+        "mymedialite_tpu.models.svdpp:SigmoidUserAsymmetricFactorModel",
+    "SigmoidCombinedAsymmetricFactorModel":
+        "mymedialite_tpu.models.svdpp:SigmoidCombinedAsymmetricFactorModel",
     "UserKNN": "mymedialite_tpu.models.knn:UserKNNRating",
     "ItemKNN": "mymedialite_tpu.models.knn:ItemKNNRating",
     "UserAttributeKNN": "mymedialite_tpu.models.knn:UserAttributeKNNRating",
@@ -38,6 +46,8 @@ ITEM_RECOMMENDERS = {
     "WeightedBPRMF": "mymedialite_tpu.models.bpr:WeightedBPRMF",
     "SoftMarginRankingMF": "mymedialite_tpu.models.bpr:SoftMarginRankingMF",
     "WRMF": "mymedialite_tpu.models.wrmf:WRMF",
+    "LeastSquareSLIM": "mymedialite_tpu.models.slim:LeastSquareSLIM",
+    "BPRSLIM": "mymedialite_tpu.models.slim:BPRSLIM",
     "UserKNN": "mymedialite_tpu.models.knn:UserKNN",
     "ItemKNN": "mymedialite_tpu.models.knn:ItemKNN",
     "UserAttributeKNN": "mymedialite_tpu.models.knn:UserAttributeKNN",

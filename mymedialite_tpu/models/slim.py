@@ -1,0 +1,261 @@
+"""SLIM — sparse linear item-item models.
+
+TPU-native counterparts of reference ``ItemRecommendation/SLIM.cs:45``
+(abstract W-matrix base; Predict = sum_{j in I_u} W[i,j]),
+``LeastSquareSLIM.cs:55`` (elastic-net coordinate descent, optional
+item-kNN feature selection) and ``BPRSLIM.cs:56`` (BPR-sampled SGD on W).
+
+Design notes:
+- W is dense [I, I] on device (the reference also allocates a dense
+  Matrix<float>; SLIM targets modest catalogs).
+- LeastSquareSLIM: the reference's per-coordinate update
+  (LeastSquareSLIM.cs:140-176) is rewritten as full Jacobi-style sweeps:
+  the gradient for every (i,j) at once is two MXU matmuls
+  (S = M W^T, A = S^T M) plus the precomputed co-occurrence matrix, then
+  the same soft-threshold. Each sweep touches every coordinate with
+  start-of-sweep predictions instead of cycling; validated by ranking
+  quality, not per-coordinate trajectories.
+- BPRSLIM: sampled (u, i+, j-) triples; the per-triple update touches
+  W[i, k] / W[j, k] for all k in I_u — done with padded histories and
+  flat scatter-adds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mymedialite_tpu.data.arrays import padded_history
+from mymedialite_tpu.io.model_io import ModelReader, ModelWriter
+from mymedialite_tpu.models.base import (
+    IncrementalItemRecommender, IterativeModel,
+)
+from mymedialite_tpu.ops import bpr as bpr_ops
+from mymedialite_tpu.ops import correlation as corr_ops
+
+
+class _SLIM(IncrementalItemRecommender, IterativeModel):
+    EXTRA_PARAMS = {"init_mean": float, "init_stdev": float}
+
+    def __init__(self):
+        super().__init__()
+        # defaults per reference SLIM.cs:63-68
+        self.num_iter = 15
+        self.init_mean = 0.0
+        self.init_stdev = 0.1
+        self.random_seed = 42
+        self.W = None  # [I, I] item weights, zero diagonal
+
+    def init_model(self):
+        I = self.feedback.num_items
+        key = jax.random.PRNGKey(self.random_seed)
+        W = self.init_mean + self.init_stdev * jax.random.normal(
+            key, (I, I), dtype=jnp.float32)
+        self.W = W * (1.0 - jnp.eye(I, dtype=jnp.float32))
+
+    def train(self):
+        self.init_model()
+        for _ in range(self.num_iter):
+            self.iterate()
+
+    def _incidence(self):
+        f = self.feedback
+        return jnp.asarray(corr_ops.incidence_dense(
+            f, f.num_users, f.num_items))
+
+    def predict_batch(self, users, items):
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        out = np.full(users.shape, -np.float32(3.4e38), dtype=np.float32)
+        ok = (users >= 0) & (users < self.feedback.num_users) & \
+             (items >= 0) & (items < self.W.shape[0])
+        if ok.any():
+            uniq = np.unique(users[ok])
+            scores = self.score_catalog(uniq)
+            row_of = {int(u): r for r, u in enumerate(uniq)}
+            rows = np.array([row_of[int(u)] for u in users[ok]])
+            out[ok] = scores[rows, items[ok]]
+        return out
+
+    def score_catalog(self, users):
+        users = np.clip(np.asarray(users, dtype=np.int64), 0,
+                        self.feedback.num_users - 1)
+        M = self._incidence()
+        return np.asarray(M[jnp.asarray(users)] @ self.W.T)
+
+    def _retrain(self, users, items):
+        if self.W is not None:
+            self.train()
+
+    def save_model(self, path):
+        with ModelWriter(path, type(self).__name__, "3.05") as w:
+            w.matrix(np.asarray(self.W))
+
+    def load_model(self, path):
+        with ModelReader(path, type(self).__name__) as r:
+            self.W = jnp.asarray(r.matrix())
+        self.num_items_trained = self.W.shape[0]
+
+
+class LeastSquareSLIM(_SLIM):
+    """Reference LeastSquareSLIM.cs:55 — elastic-net coordinate descent
+    with optional kNN feature selection (K=50 cosine neighbors)."""
+
+    HYPERPARAMS = {
+        "reg_l1": float,
+        "reg_l2": float,
+        "k": int,
+        "num_iter": int,
+    }
+
+    def __init__(self):
+        super().__init__()
+        self.reg_l1 = 0.01
+        self.reg_l2 = 0.001
+        self.k = 50
+
+    def init_model(self):
+        # W starts at N(mean, std) like the base, but the sweep overwrites
+        # every unmasked coordinate anyway
+        super().init_model()
+        f = self.feedback
+        self._M = self._incidence()                       # [U, I]
+        self._C = jnp.dot(self._M.T, self._M,
+                          preferred_element_type=jnp.float32)  # co-occurrence
+        self._cj = jnp.sum(self._M, axis=0)               # |U_j|
+        I = f.num_items
+        if self.k > 0:
+            # feature selection: only the k most cosine-similar items may
+            # get nonzero weight (reference InitModel + GetMostSimilarItems)
+            view = type("V", (), dict(users=f.items, items=f.users))
+            corr = corr_ops.binary_correlation(view, I, f.num_users,
+                                               kind="cosine")
+            nn = corr_ops.nearest_neighbors(corr, self.k)
+            mask = np.zeros((I, I), dtype=np.float32)
+            rows = np.repeat(np.arange(I), nn.shape[1])
+            mask[rows, nn.reshape(-1)] = 1.0
+            np.fill_diagonal(mask, 0.0)
+            self._mask = jnp.asarray(mask)
+        else:
+            self._mask = 1.0 - jnp.eye(I, dtype=jnp.float32)
+
+    def iterate(self):
+        self.W = _ls_slim_sweep(self.W, self._M, self._C, self._cj,
+                                self._mask, jnp.float32(self.reg_l1),
+                                jnp.float32(self.reg_l2))
+
+
+@jax.jit
+def _ls_slim_sweep(W, M, C, cj, mask, reg_l1, reg_l2):
+    """One Jacobi sweep of the elastic-net coordinate update
+    (reference UpdateParameters, LeastSquareSLIM.cs:140-176):
+      grad[i,j] = (C[i,j] - (sum_{u in U_j} pred(u,i) - c_j W[i,j])) / U
+      W[i,j] = soft_threshold(grad, l1) / (1 + l2), masked."""
+    U = M.shape[0]
+    S = jnp.dot(M, W.T, preferred_element_type=jnp.float32)   # [U, I] preds
+    A = jnp.dot(S.T, M, preferred_element_type=jnp.float32)   # [I, I]
+    grad = (C - (A - cj[None, :] * W)) / U
+    new_w = jnp.where(
+        jnp.abs(grad) > reg_l1,
+        (grad - jnp.sign(grad) * reg_l1) / (1.0 + reg_l2),
+        0.0)
+    return new_w * mask
+
+
+class BPRSLIM(_SLIM):
+    """Reference BPRSLIM.cs:56 — SLIM trained with BPR triple sampling."""
+
+    HYPERPARAMS = {
+        "reg_i": float,
+        "reg_j": float,
+        "num_iter": int,
+        "learn_rate": float,
+        "uniform_user_sampling": bool,
+        "with_replacement": bool,
+        "update_j": bool,
+    }
+    EXTRA_PARAMS = dict(_SLIM.EXTRA_PARAMS, batch_size=int,
+                        num_neg_trials=int)
+
+    def __init__(self):
+        super().__init__()
+        self.learn_rate = 0.05
+        self.reg_i = 0.0025
+        self.reg_j = 0.00025
+        self.uniform_user_sampling = True
+        self.with_replacement = False
+        self.update_j = True
+        self.batch_size = 1024
+        self.num_neg_trials = 8
+
+    def init_model(self):
+        super().init_model()
+        self._sampler, self._meta = bpr_ops.make_sampler_data(
+            self.feedback, self.num_neg_trials)
+        hist, lens = padded_history(self.feedback.by_user)
+        self._hist = jnp.asarray(hist)
+        self._lens = jnp.asarray(lens)
+
+    def iterate(self):
+        meta = self._meta
+        B = min(self.batch_size, max(meta["num_events"], 1))
+        num_batches = max((meta["num_events"] + B - 1) // B, 1)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.random_seed),
+                                 np.random.randint(0, 2**31 - 1))
+        self.W = _bpr_slim_epoch(
+            self.W, self._sampler, self._hist, self._lens, key,
+            jnp.float32(self.learn_rate), jnp.float32(self.reg_i),
+            jnp.float32(self.reg_j),
+            batch_size=B, num_batches=num_batches,
+            meta_static=tuple(sorted(meta.items())),
+            regime=(bpr_ops.UNIFORM_USER if self.uniform_user_sampling
+                    else bpr_ops.UNIFORM_PAIR),
+            update_j=self.update_j)
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch_size", "num_batches", "meta_static", "regime",
+                     "update_j"),
+    donate_argnames=("W",))
+def _bpr_slim_epoch(W, sampler, hist, lens, key, lr, reg_i, reg_j, *,
+                    batch_size, num_batches, meta_static, regime, update_j):
+    meta = dict(meta_static)
+    I = W.shape[0]
+    L = hist.shape[1]
+
+    def batch_step(W, b):
+        bkey = jax.random.fold_in(key, b)
+        u, i, j, w = bpr_ops._sample_triples(bkey, sampler, meta, batch_size,
+                                             regime)
+        hu = hist[u]                                    # [B, L]
+        hmask = (jnp.arange(L)[None, :] <
+                 lens[u][:, None]).astype(jnp.float32)  # [B, L]
+        hu_c = jnp.clip(hu, 0, I - 1)
+        # x_uij = sum_k (W[i,k] - W[j,k]) over k in I_u (diag entries are 0)
+        wi = W[i]                                       # [B, I]
+        wj = W[j]
+        x = jnp.sum((jnp.take_along_axis(wi, hu_c, axis=1)
+                     - jnp.take_along_axis(wj, hu_c, axis=1)) * hmask, axis=1)
+        g = jax.nn.sigmoid(-x) * w                      # [B]
+        # update W[i, k] += lr (g - reg_i W[i,k]); k in I_u, k != i
+        not_self_i = (hu_c != i[:, None]).astype(jnp.float32) * hmask
+        flat_i = (i[:, None] * I + hu_c).reshape(-1)
+        cur_i = jnp.take_along_axis(wi, hu_c, axis=1)
+        d_i = (lr * (g[:, None] - reg_i * cur_i) * not_self_i).reshape(-1)
+        Wf = W.reshape(-1).at[flat_i].add(d_i)
+        if update_j:
+            not_self_j = (hu_c != j[:, None]).astype(jnp.float32) * hmask
+            flat_j = (j[:, None] * I + hu_c).reshape(-1)
+            cur_j = jnp.take_along_axis(wj, hu_c, axis=1)
+            d_j = (lr * (-g[:, None] - reg_j * cur_j) * not_self_j).reshape(-1)
+            Wf = Wf.at[flat_j].add(d_j)
+        return Wf.reshape(I, I), None
+
+    W, _ = jax.lax.scan(batch_step, W, jnp.arange(num_batches,
+                                                  dtype=jnp.int32))
+    return W
