@@ -96,17 +96,22 @@ def main(argv=None):
 
     user_mapping, item_mapping = common.make_mappings(args)
 
+    # time-aware recommenders need the timestamp column
+    # (reference RatingPrediction.LoadData dispatches on
+    # ITimeAwareRatingPredictor)
+    timed = getattr(recommender, "time_aware", False)
+
     training_data = None
     test_data = None
     if args.training_file:
         training_data, loading_time = timer.measure("loading", lambda: load_ratings(
             args, common.data_path(args, args.training_file),
-            user_mapping, item_mapping))
+            user_mapping, item_mapping, timed=timed))
         print(f"loading_time {loading_time:.2f}", file=sys.stderr)
 
     if args.test_file:
         test_data = load_ratings(args, common.data_path(args, args.test_file),
-                                 user_mapping, item_mapping)
+                                 user_mapping, item_mapping, timed=timed)
         # test may reference entities unseen in training
         if training_data is not None:
             n_users = max(training_data.num_users, test_data.num_users)
@@ -190,6 +195,14 @@ def main(argv=None):
         timer.report()
         common.save_mappings(args, user_mapping, item_mapping)
         return 0
+
+    # hyperparameter search (reference RatingPrediction.cs:288-292)
+    if args.search_hp:
+        from mymedialite_tpu.hyperopt import NelderMead
+        result = NelderMead("RMSE", recommender,
+                            rng=np.random.default_rng(
+                                args.random_seed or 42)).find_minimum()
+        print(f"estimated quality (on split) {result}", file=sys.stderr)
 
     # standard single train/eval path (reference RatingPrediction.cs:272-330)
     print(str(recommender), end=" ")

@@ -74,6 +74,17 @@ def read_rating_data(filename: str, user_mapping: Mapping = None,
         z = _load_cache(filename, "Ratings")
         if z is not None:
             return RatingData(z["users"], z["items"], z["values"])
+    if _identity(user_mapping) and _identity(item_mapping) and separator is None:
+        # numeric ids: the native mmap parser is ~50x faster
+        from mymedialite_tpu import native
+        parsed = native.parse_numeric_file(filename, 3, ignore_first_line)
+        if parsed is not None:
+            users, items, values, _ = parsed
+            data = RatingData(users, items, values)
+            if cacheable:
+                _save_cache(filename, "Ratings", users=data.users,
+                            items=data.items, values=data.values)
+            return data
     # 'or' would discard an EMPTY Mapping (falsy via __len__)
     user_mapping = IdentityMapping() if user_mapping is None else user_mapping
     item_mapping = IdentityMapping() if item_mapping is None else item_mapping
@@ -173,6 +184,16 @@ def read_item_data(filename: str, user_mapping=None, item_mapping=None,
         z = _load_cache(filename, "PosOnlyFeedback")
         if z is not None:
             return PosOnlyData(z["users"], z["items"])
+    if _identity(user_mapping) and _identity(item_mapping):
+        from mymedialite_tpu import native
+        parsed = native.parse_numeric_file(filename, 2, ignore_first_line)
+        if parsed is not None:
+            users, items, _, _ = parsed
+            data = PosOnlyData(users, items)
+            if cacheable:
+                _save_cache(filename, "PosOnlyFeedback",
+                            users=data.users, items=data.items)
+            return data
     # 'or' would discard an EMPTY Mapping (falsy via __len__)
     user_mapping = IdentityMapping() if user_mapping is None else user_mapping
     item_mapping = IdentityMapping() if item_mapping is None else item_mapping

@@ -98,3 +98,123 @@ class RandomItem(ItemRecommender):
 
     def load_model(self, path):
         pass
+
+
+class MostPopularByAttributes(ItemRecommender):
+    """Popularity within item-attribute groups
+    (reference MostPopularByAttributes.cs:47-120): score =
+    (1 + sum of the user's per-attribute counts over the item's
+    attributes) * (popularity + 1) / (|attrs(item)| + 1)."""
+
+    def __init__(self):
+        super().__init__()
+        self.item_attributes = None  # InteractionData: item -> attribute
+        self._mp = MostPopular()
+        self._attr_count = None      # [U, n_attr]
+        self._A = None               # [I, n_attr] binary
+
+    def train(self):
+        if self.item_attributes is None:
+            raise ValueError("MostPopularByAttributes needs item attributes")
+        f = self.feedback
+        self._mp.feedback = f
+        self._mp.train()
+        n_attr = self.item_attributes.num_items
+        I = max(f.num_items, self.item_attributes.num_users)
+        self.num_items_trained = I
+        A = np.zeros((I, n_attr), dtype=np.float32)
+        A[self.item_attributes.users, self.item_attributes.items] = 1.0
+        self._A = A
+        M = np.zeros((f.num_users, I), dtype=np.float32)
+        M[f.users, f.items] += 1.0  # event counts (not deduped)
+        # reference counts one increment per feedback EVENT per attribute
+        cnt = np.zeros((f.num_users, I), dtype=np.float32)
+        np.add.at(cnt, (f.users, f.items), 1.0)
+        self._attr_count = cnt @ A   # [U, n_attr]
+
+    def score_catalog(self, users):
+        users = np.clip(np.asarray(users, dtype=np.int64), 0,
+                        self._attr_count.shape[0] - 1)
+        mp_row = (self._mp.view_count / self._mp._norm()).astype(np.float32)
+        attr_term = 1.0 + self._attr_count[users] @ self._A.T  # [B, I]
+        denom = self._A.sum(axis=1) + 1.0
+        return (attr_term * (mp_row + 1.0)[None, :] /
+                denom[None, :]).astype(np.float32)
+
+    def predict_batch(self, users, items):
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        out = np.full(users.shape, -np.float32(3.4e38), dtype=np.float32)
+        ok = (users >= 0) & (users < self.feedback.num_users) & \
+             (items >= 0) & (items < self.num_items_trained)
+        if ok.any():
+            uniq = np.unique(users[ok])
+            scores = self.score_catalog(uniq)
+            row_of = {int(u): r for r, u in enumerate(uniq)}
+            rows = np.array([row_of[int(u)] for u in users[ok]])
+            out[ok] = scores[rows, items[ok]]
+        return out
+
+    def save_model(self, path):
+        raise NotImplementedError  # same as reference
+
+    def load_model(self, path):
+        raise NotImplementedError
+
+
+class BigramRules(ItemRecommender):
+    """Item->item association rules from co-occurring events
+    (reference BigramRules.cs:27-100): score(u,i) =
+    sum_{j in I_u, j != i} support * confidence
+    = sum_j C[j,i]^2 / (|U_j| * N)."""
+
+    def __init__(self):
+        super().__init__()
+        self._R = None
+
+    def train(self):
+        import jax.numpy as jnp
+        from mymedialite_tpu.ops.correlation import incidence_dense
+        f = self.feedback
+        M = incidence_dense(f, f.num_users, f.num_items)  # binary (dedup)
+        C = np.array(jnp.dot(jnp.asarray(M).T, jnp.asarray(M),
+                             preferred_element_type=jnp.float32))
+        np.fill_diagonal(C, 0.0)
+        cnt = np.maximum(M.sum(axis=0), 1.0)  # |U_j|
+        N = max(len(f), 1)
+        self._R = (C * C / (cnt[:, None] * N)).astype(np.float32)
+        self._M = M
+
+    def score_catalog(self, users):
+        users = np.clip(np.asarray(users, dtype=np.int64), 0,
+                        self._M.shape[0] - 1)
+        return (self._M[users] @ self._R).astype(np.float32)
+
+    def predict_batch(self, users, items):
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        out = np.full(users.shape, -np.float32(3.4e38), dtype=np.float32)
+        ok = (items >= 0) & (items < self._R.shape[0]) & (users >= 0) & \
+             (users < self._M.shape[0])
+        if ok.any():
+            uniq = np.unique(users[ok])
+            scores = self.score_catalog(uniq)
+            row_of = {int(u): r for r, u in enumerate(uniq)}
+            rows = np.array([row_of[int(u)] for u in users[ok]])
+            out[ok] = scores[rows, items[ok]]
+        return out
+
+    def save_model(self, path):
+        from mymedialite_tpu.io.model_io import ModelWriter
+        with ModelWriter(path, type(self).__name__, "2.99") as w:
+            w.matrix(self._R)
+
+    def load_model(self, path):
+        from mymedialite_tpu.io.model_io import ModelReader
+        with ModelReader(path, type(self).__name__) as r:
+            self._R = r.matrix()
+        self.num_items_trained = self._R.shape[0]
+        if self.feedback is not None:
+            from mymedialite_tpu.ops.correlation import incidence_dense
+            f = self.feedback
+            self._M = incidence_dense(f, f.num_users, f.num_items)

@@ -23,7 +23,14 @@ RATING_PREDICTORS = {
     "MatrixFactorization": "mymedialite_tpu.models.mf:MatrixFactorization",
     "BiasedMatrixFactorization":
         "mymedialite_tpu.models.mf:BiasedMatrixFactorization",
+    "SocialMF": "mymedialite_tpu.models.social_mf:SocialMF",
+    "TimeAwareBaseline": "mymedialite_tpu.models.time_aware:TimeAwareBaseline",
+    "TimeAwareBaselineWithFrequencies":
+        "mymedialite_tpu.models.time_aware:TimeAwareBaselineWithFrequencies",
+    "ExternalRatingPredictor":
+        "mymedialite_tpu.models.external:ExternalRatingPredictor",
     "SVDPlusPlus": "mymedialite_tpu.models.svdpp:SVDPlusPlus",
+    "GSVDPlusPlus": "mymedialite_tpu.models.svdpp:GSVDPlusPlus",
     "SigmoidSVDPlusPlus": "mymedialite_tpu.models.svdpp:SigmoidSVDPlusPlus",
     "SigmoidItemAsymmetricFactorModel":
         "mymedialite_tpu.models.svdpp:SigmoidItemAsymmetricFactorModel",
@@ -48,6 +55,11 @@ ITEM_RECOMMENDERS = {
     "WRMF": "mymedialite_tpu.models.wrmf:WRMF",
     "LeastSquareSLIM": "mymedialite_tpu.models.slim:LeastSquareSLIM",
     "BPRSLIM": "mymedialite_tpu.models.slim:BPRSLIM",
+    "MostPopularByAttributes":
+        "mymedialite_tpu.models.item_baselines:MostPopularByAttributes",
+    "BigramRules": "mymedialite_tpu.models.item_baselines:BigramRules",
+    "ExternalItemRecommender":
+        "mymedialite_tpu.models.external:ExternalItemRecommender",
     "UserKNN": "mymedialite_tpu.models.knn:UserKNN",
     "ItemKNN": "mymedialite_tpu.models.knn:ItemKNN",
     "UserAttributeKNN": "mymedialite_tpu.models.knn:UserAttributeKNN",

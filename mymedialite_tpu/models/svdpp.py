@@ -457,3 +457,126 @@ class SigmoidCombinedAsymmetricFactorModel(SigmoidSVDPlusPlus):
         self._user_afm = SigmoidUserAsymmetricFactorModel()
         self._user_afm.ratings = self.ratings
         self._user_afm.load_model(path + "-user")
+
+
+class GSVDPlusPlus(SVDPlusPlus):
+    """gSVD++ (reference GSVDPlusPlus.cs:29-243, Manzato SAC 2013):
+    SVD++ whose effective item factor is q_i plus the mean of the item's
+    attribute factors x_a."""
+
+    def __init__(self):
+        super().__init__()
+        self.item_attributes = None  # InteractionData: item -> attribute
+
+    def _prepare(self):
+        super()._prepare()
+        if self.item_attributes is None:
+            raise ValueError("GSVDPlusPlus needs item attributes")
+        I = self._num_items()
+        n_attr = self.item_attributes.num_items
+        A = np.zeros((I, n_attr), dtype=np.float32)
+        au = np.asarray(self.item_attributes.users)
+        aa = np.asarray(self.item_attributes.items)
+        keep = au < I
+        A[au[keep], aa[keep]] = 1.0
+        counts = A.sum(axis=1, keepdims=True)
+        A_norm = np.divide(A, counts, out=np.zeros_like(A), where=counts > 0)
+        self._data["attr_norm"] = jnp.asarray(A_norm)
+        # x_reg: reg / column count if frequency regularization
+        # (GSVDPlusPlus.cs:90-94 — note: count, not sqrt)
+        col = np.maximum(A.sum(axis=0), 1.0)
+        reg = self.regularization
+        x_reg = (reg / col if self.frequency_regularization
+                 else np.full(n_attr, reg)).astype(np.float32)
+        self._hp_arrays["x_reg"] = jnp.asarray(x_reg)
+        self._n_attr = n_attr
+
+    def init_model(self):
+        super().init_model()
+        self._key, kx = jax.random.split(self._key)
+        self.params["x"] = self.init_mean + self.init_stdev * \
+            jax.random.normal(kx, (self._n_attr, self.num_factors),
+                              dtype=jnp.float32)
+
+    def iterate(self):
+        self._user_factors_cache = None
+        self._item_factors_cache = None
+        self.params = svdpp_ops.svdpp_epoch(
+            self.params, self._data, self._hp(),
+            group_users=self._meta["group_users"],
+            ngroups=self._meta["ngroups"],
+            loss=_LOSS_ID[self.loss], sigmoid=self.SIGMOID,
+            use_p=self.USE_P, update_user=self.update_users,
+            update_item=self.update_items, use_attrs=True)
+        self.current_learnrate *= self.learn_rate_decay
+
+    def _effective_item_factors(self):
+        if getattr(self, "_item_factors_cache", None) is None:
+            self._item_factors_cache = self.params["item_factors"] + \
+                self._data["attr_norm"] @ self.params["x"]
+        return self._item_factors_cache
+
+    def predict_batch(self, users, items):
+        uf = self._user_factors()
+        p = self.params
+        q_eff = self._effective_item_factors()
+        U, I = self.num_users_trained, q_eff.shape[0]
+        u = jnp.asarray(users, dtype=jnp.int32)
+        i = jnp.asarray(items, dtype=jnp.int32)
+        uc = jnp.clip(u, 0, uf.shape[0] - 1)
+        ic = jnp.clip(i, 0, I - 1)
+        u_ok = (u >= 0) & (u < U)
+        i_ok = (i >= 0) & (i < I)
+        score = p["global_bias"] \
+            + jnp.where(u_ok, p["user_bias"][uc], 0.0) \
+            + jnp.where(i_ok, p["item_bias"][ic], 0.0) \
+            + jnp.where(u_ok & i_ok, jnp.sum(uf[uc] * q_eff[ic], -1), 0.0)
+        return np.asarray(self._bound(score))
+
+    def score_catalog(self, users):
+        uf = self._user_factors()
+        p = self.params
+        q_eff = self._effective_item_factors()
+        u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0, uf.shape[0] - 1)
+        score = p["global_bias"] + p["user_bias"][u][:, None] + \
+            p["item_bias"][None, :] + uf[u] @ q_eff.T
+        return np.asarray(self._bound(score))
+
+    def save_model(self, path):
+        U = self.num_users_trained
+        with ModelWriter(path, type(self).__name__, "2.99") as w:
+            w.scalar(float(self.params["global_bias"]))
+            w.scalar(self.min_rating)
+            w.scalar(self.max_rating)
+            w.vector(np.asarray(self.params["user_bias"])[:U])
+            w.vector(np.asarray(self.params["item_bias"]))
+            w.matrix(np.asarray(self.params["p"])[:U])
+            w.matrix(np.asarray(self.params["y"]))
+            w.matrix(np.asarray(self.params["item_factors"]))
+            w.matrix(np.asarray(self.params["x"]))
+
+    def load_model(self, path):
+        with ModelReader(path, type(self).__name__) as r:
+            gb = r.scalar()
+            self.min_rating = r.scalar()
+            self.max_rating = r.scalar()
+            bu = r.vector()
+            bi = r.vector()
+            p = r.matrix()
+            y = r.matrix()
+            q = r.matrix()
+            x = r.matrix()
+        self.num_factors = q.shape[1]
+        self._prepare()
+        U_pad = self._U_pad
+        self.params = dict(
+            global_bias=jnp.float32(gb),
+            user_bias=jnp.asarray(np.pad(bu, (0, U_pad - bu.shape[0]))),
+            item_bias=jnp.asarray(bi),
+            item_factors=jnp.asarray(q), y=jnp.asarray(y),
+            p=jnp.asarray(np.pad(p, ((0, U_pad - p.shape[0]), (0, 0)))),
+            x=jnp.asarray(x))
+        self.current_learnrate = self.learn_rate
+        self._key = jax.random.PRNGKey(self.random_seed)
+        self._user_factors_cache = None
+        self._item_factors_cache = None

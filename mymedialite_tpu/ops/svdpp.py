@@ -77,11 +77,12 @@ def prepare_groups(ratings, hist_user, hist_item, num_users: int,
 @functools.partial(
     jax.jit,
     static_argnames=("group_users", "ngroups", "loss", "sigmoid",
-                     "use_p", "update_user", "update_item"),
+                     "use_p", "update_user", "update_item", "use_attrs"),
     donate_argnames=("params",))
 def svdpp_epoch(params, data, hp, *, group_users: int, ngroups: int,
                 loss: int, sigmoid: bool, use_p: bool,
-                update_user: bool, update_item: bool):
+                update_user: bool, update_item: bool,
+                use_attrs: bool = False):
     """One pass over all user groups.
 
     params: global_bias, user_bias [U], item_bias [I], item_factors(q)
@@ -117,7 +118,15 @@ def svdpp_epoch(params, data, hp, *, group_users: int, ngroups: int,
         rm = data["r_mask"][g]
         bu_slab = jax.lax.dynamic_slice(p_["user_bias"], (u0,), (G,))
         su = s_full[ru]                       # [L, f]
-        qi = p_["item_factors"][ri]
+        qi_raw = p_["item_factors"][ri]
+        if use_attrs:
+            # gSVD++ (GSVDPlusPlus.cs:115-128): effective item factor
+            # q_i + mean of the item's attribute factors x_a
+            A_rows = data["attr_norm"][ri]            # [L, n_attr]
+            qi = qi_raw + jnp.dot(A_rows, p_["x"],
+                                  preferred_element_type=jnp.float32)
+        else:
+            qi = qi_raw
         score = p_["global_bias"] + bu_slab[ru] + p_["item_bias"][ri] + \
             jnp.sum(su * qi, axis=-1)
         if sigmoid:
@@ -150,10 +159,21 @@ def svdpp_epoch(params, data, hp, *, group_users: int, ngroups: int,
             p_slab = p_slab + lr * jax.ops.segment_sum(d_p, ru, num_segments=G)
             p_["p"] = jax.lax.dynamic_update_slice(p_["p"], p_slab, (u0, 0))
 
-        # --- q update (reference: delta_i = err * s_u - reg * q_i) ---
+        # --- q update (reference: delta_i = err * s_u - reg * q_i;
+        # the reg term uses the RAW q row, GSVDPlusPlus.cs:159) ---
         if update_item:
-            d_q = gcom[:, None] * su - (rm * i_reg)[:, None] * qi
+            d_q = gcom[:, None] * su - (rm * i_reg)[:, None] * qi_raw
             p_["item_factors"] = p_["item_factors"].at[ri].add(lr * d_q)
+            if use_attrs:
+                # x update (GSVDPlusPlus.cs:163-174):
+                # dx_a = (err/|attrs(i)|) * s_u - x_reg[a] * x_a  per
+                # (rating, attribute) occurrence
+                A_rows = data["attr_norm"][ri] * rm[:, None]
+                dX = jnp.dot(A_rows.T, gcom[:, None] * su,
+                             preferred_element_type=jnp.float32)
+                occ = jnp.sum(jnp.sign(A_rows), axis=0)    # [n_attr]
+                dX = dX - (occ * hp["x_reg"])[:, None] * p_["x"]
+                p_["x"] = p_["x"] + lr * dX
 
             # --- y update through the history edges ---
             # c_u = sum over the user's ratings of err * q_i / sqrt(|I_u|)

@@ -35,8 +35,14 @@ def implicit_ml_like():
     return split_posonly(data, seed=12)
 
 
+_SKIP_SMOKE = ("ExternalItemRecommender",)
+_SKIP_ROUNDTRIP = ("Random", "ExternalItemRecommender",
+                   "MostPopularByAttributes")  # ref also NotImplemented
+
+
 class TestSmoke:
-    @pytest.mark.parametrize("name", list_item_recommenders())
+    @pytest.mark.parametrize("name", [n for n in list_item_recommenders()
+                                      if n not in _SKIP_SMOKE])
     def test_train_predict_recommend(self, name):
         m = create_item_recommender(name)
         m.feedback = small_feedback()
@@ -51,7 +57,7 @@ class TestSmoke:
         assert len(recs) == 2
 
     @pytest.mark.parametrize("name", [n for n in list_item_recommenders()
-                                      if n != "Random"])
+                                      if n not in _SKIP_ROUNDTRIP])
     def test_save_load_roundtrip(self, name, tmp_path):
         m = create_item_recommender(name)
         m.feedback = small_feedback()

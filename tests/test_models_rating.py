@@ -154,6 +154,13 @@ class TestMatrixFactorization:
         assert all(np.isfinite(s) for _, s in scored)
 
 
+# Random has no deterministic predictions; time-aware models need timed
+# data (tested in test_time_aware.py); External* serve from files
+_ROUNDTRIP_SKIP = ("Random", "TimeAwareBaseline",
+                   "TimeAwareBaselineWithFrequencies",
+                   "ExternalRatingPredictor")
+
+
 class TestSaveLoadRoundTrip:
     """The determinism oracle (reference tests/test_load_save.sh and
     ItemRecommendersTest.cs:62+): save -> load -> identical predictions."""
@@ -168,7 +175,7 @@ class TestSaveLoadRoundTrip:
             m.item_attributes = InteractionData([0, 1, 2, 3], [0, 0, 1, 1])
 
     @pytest.mark.parametrize("name", [n for n in list_rating_predictors()
-                                      if n not in ("Random",)])
+                                      if n not in _ROUNDTRIP_SKIP])
     def test_roundtrip(self, name, tmp_path):
         train = small_ratings()
         m = create_rating_predictor(name)
