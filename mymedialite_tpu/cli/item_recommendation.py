@@ -107,11 +107,23 @@ def main(argv=None):
     if args.num_iter is not None and hasattr(recommender, "num_iter"):
         recommender.num_iter = args.num_iter
 
+    def show(results):
+        # --measures selects which measures ToString displays
+        # (reference EvaluationResults.MeasuresToShow)
+        if args.measures:
+            results.measures_to_show = tuple(
+                m.strip() for m in args.measures.split(",") if m.strip())
+        return results
+
     if not args.training_file and not args.load_model:
         common.abort("Please provide either --training-file=FILE or "
                      "--load-model=FILE.")
 
     user_mapping, item_mapping = common.make_mappings(args)
+    # INeedsMappings (reference ExternalRatingPredictor/ExternalItemRecommender)
+    if hasattr(recommender, "user_mapping"):
+        recommender.user_mapping = user_mapping
+        recommender.item_mapping = item_mapping
 
     training_data = None
     test_data = None
@@ -186,12 +198,12 @@ def main(argv=None):
         if args.load_model is None:
             timer.measure("training", recommender.train)
         results = evaluate()
-        print(f"{results} iteration {recommender.num_iter}")
+        print(f"{show(results)} iteration {recommender.num_iter}")
         for it in range(recommender.num_iter + 1, args.max_iter + 1):
             timer.measure("iteration", recommender.iterate)
             if it % args.find_iter == 0:
                 results, _ = timer.measure("evaluation", evaluate)
-                print(f"{results} iteration {it}")
+                print(f"{show(results)} iteration {it}")
                 if args.save_model:
                     recommender.save_model(f"{args.save_model}-it-{it}")
         timer.report()
@@ -204,7 +216,7 @@ def main(argv=None):
         print(f"training_time {common.fmt_seconds(train_seconds)} ", end="")
     if test_data is not None:
         results, eval_seconds = timer.measure("evaluation", evaluate)
-        print(f"{results} testing_time {common.fmt_seconds(eval_seconds)}",
+        print(f"{show(results)} testing_time {common.fmt_seconds(eval_seconds)}",
               end="")
     print()
     if args.prediction_file:

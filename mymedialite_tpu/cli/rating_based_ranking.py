@@ -108,6 +108,21 @@ def main(argv=None):
 
     recommender.ratings = training_data
 
+    if args.cross_validation > 1:
+        from mymedialite_tpu.eval.crossval import (
+            crossvalidate_rating_based_ranking,
+        )
+        print(str(recommender))
+        results = crossvalidate_rating_based_ranking(
+            recommender, training_data, args.cross_validation,
+            candidate_items=explicit,
+            candidate_item_mode="UNION",
+            rng=np.random.default_rng(args.random_seed or 0),
+            show_results=args.show_fold_results)
+        print(str(results))
+        timer.report()
+        return 0
+
     def evaluate():
         return evaluate_items(
             recommender, to_posonly(test_data), to_posonly(training_data),

@@ -82,6 +82,14 @@ def main(argv=None):
     if args.num_iter is not None and hasattr(recommender, "num_iter"):
         recommender.num_iter = args.num_iter
 
+    def show(results):
+        # --measures selects which measures ToString displays
+        # (reference EvaluationResults.MeasuresToShow)
+        if args.measures:
+            results.measures_to_show = tuple(
+                m.strip() for m in args.measures.split(",") if m.strip())
+        return results
+
     if not args.training_file and not args.load_model:
         common.abort("Please provide either --training-file=FILE or "
                      "--load-model=FILE.")
@@ -95,6 +103,10 @@ def main(argv=None):
                      "--save-model=FILE.")
 
     user_mapping, item_mapping = common.make_mappings(args)
+    # INeedsMappings (reference ExternalRatingPredictor/ExternalItemRecommender)
+    if hasattr(recommender, "user_mapping"):
+        recommender.user_mapping = user_mapping
+        recommender.item_mapping = item_mapping
 
     # time-aware recommenders need the timestamp column
     # (reference RatingPrediction.LoadData dispatches on
@@ -164,7 +176,7 @@ def main(argv=None):
         if args.load_model is None:
             _, t = timer.measure("training", recommender.train)
         results = evaluate_ratings(recommender, test_data)
-        print(f"{results} iteration {recommender.num_iter}")
+        print(f"{show(results)} iteration {recommender.num_iter}")
         eval_history = [results["RMSE"]]
         for it in range(recommender.num_iter + 1, args.max_iter + 1):
             _, t = timer.measure("iteration", recommender.iterate)
@@ -173,7 +185,7 @@ def main(argv=None):
                     print(f"fit {compute_fit(recommender):.5f} iteration {it}")
                 results, _ = timer.measure(
                     "evaluation", lambda: evaluate_ratings(recommender, test_data))
-                print(f"{results} iteration {it}")
+                print(f"{show(results)} iteration {it}")
                 if args.save_model:
                     recommender.save_model(f"{args.save_model}-it-{it}")
                 if args.prediction_file:
@@ -218,7 +230,7 @@ def main(argv=None):
             results, eval_seconds = timer.measure(
                 "evaluation",
                 lambda: evaluate_ratings(recommender, test_data, training_data))
-        print(f"{results} testing_time {common.fmt_seconds(eval_seconds)}",
+        print(f"{show(results)} testing_time {common.fmt_seconds(eval_seconds)}",
               end="")
     if args.compute_fit:
         print(f"\nfit {compute_fit(recommender):.5f}", end="")

@@ -69,3 +69,33 @@ def crossvalidate_items(recommender, feedback, num_folds: int = 5,
             print(f"fold {f} {res}")
         fold_results.append(res)
     return ItemRecommendationResults.average(fold_results)
+
+
+def crossvalidate_rating_based_ranking(recommender, ratings,
+                                       num_folds: int = 5,
+                                       candidate_items=None,
+                                       candidate_item_mode: str = "UNION",
+                                       shuffle: bool = False, rng=None,
+                                       show_results: bool = False):
+    """Reference Eval/RatingBasedRankingCrossValidation.cs: k-fold over the
+    rating data, each fold trains the rating predictor and evaluates it
+    with the item-recommendation protocol."""
+    from mymedialite_tpu.data.arrays import PosOnlyData
+
+    def posonly(data):
+        return PosOnlyData(data.users, data.items, num_users=data.num_users,
+                           num_items=data.num_items)
+
+    folds = crossvalidation_split(ratings, num_folds, shuffle, rng)
+    fold_results = []
+    for f, (train, test) in enumerate(folds):
+        model = clone_recommender(recommender)
+        model.ratings = train
+        model.train()
+        res = evaluate_items(model, posonly(test), posonly(train),
+                             candidate_items=candidate_items,
+                             candidate_item_mode=candidate_item_mode)
+        if show_results:
+            print(f"fold {f} {res}")
+        fold_results.append(res)
+    return ItemRecommendationResults.average(fold_results)
