@@ -76,19 +76,21 @@ def load_feedback(args, path, user_mapping, item_mapping):
 def write_predictions(recommender, training, path, user_mapping, item_mapping,
                       n, test_users=None, candidates=None):
     """Reference item prediction file format:
-    user_id<TAB>[item:score,item:score,...]"""
+    user_id<TAB>[item:score,item:score,...]
+    Scored with the batched full-catalog top-K kernel (ops/topk.py)."""
+    from mymedialite_tpu.ops.topk import recommend_batch
     if test_users is None:
         test_users = np.arange(recommender.num_users_trained)
+    test_users = np.asarray(test_users, dtype=np.int32)
+    k = n if n > 0 else recommender.num_items_trained
+    ids, scores = recommend_batch(recommender, test_users, k,
+                                  training=training, candidates=candidates)
     with open(path, "w") as f:
-        for u in test_users:
-            u = int(u)
-            ignore = (training.items_by_user(u)
-                      if u < training.num_users else [])
-            ranked = recommender.recommend(
-                u, n=n, candidates=candidates, ignore_items=ignore)
+        for r, u in enumerate(test_users):
             inner = ",".join(
-                f"{item_mapping.to_original(i)}:{s:g}" for i, s in ranked)
-            f.write(f"{user_mapping.to_original(u)}\t[{inner}]\n")
+                f"{item_mapping.to_original(int(i))}:{s:g}"
+                for i, s in zip(ids[r], scores[r]) if i >= 0)
+            f.write(f"{user_mapping.to_original(int(u))}\t[{inner}]\n")
 
 
 def main(argv=None):

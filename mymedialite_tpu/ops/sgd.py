@@ -413,3 +413,111 @@ def mf_objective(params, data, hp, counts, *, loss: int, biased: bool,
         complexity += jnp.sum(wu_reg * hp["bias_reg"] * params["user_bias"] ** 2)
         complexity += jnp.sum(wi_reg * hp["bias_reg"] * params["item_bias"] ** 2)
     return loss_sum + complexity
+
+
+# ---------------------------------------------------------------------------
+# sharded blocked epoch — multi-chip DSGD
+# ---------------------------------------------------------------------------
+#
+# The multi-chip mapping of the reference's Gemulla DSGD schedule
+# (MultiCore.cs:43-73, BiasedMatrixFactorization.cs:206-215): user groups
+# (contiguous id ranges = disjoint user-table slabs) are sharded across
+# the 'data' mesh axis, so user updates are conflict-free by construction
+# — exactly the reference's block-diagonal property, with mesh devices in
+# place of threads. The item table is replicated; each device applies its
+# group's item updates locally and the deltas are psum'd over ICI at each
+# group boundary (sub-epoch minibatch semantics for H, like the
+# reference's sub-epoch barriers).
+
+def sgd_epoch_blocked_sharded(mesh, W_ext, H_ext, data, key, hp, rates,
+                              freq, *, meta, loss: int, biased: bool,
+                              frequency_regularization: bool):
+    """Multi-device blocked epoch over a 1-D 'data' mesh.
+
+    W_ext [ngroups*G, fe] must be row-sharded over 'data' with ngroups a
+    multiple of the device count (pad with empty groups); H_ext
+    replicated; the grouped data arrays sharded on their group axis.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    m = dict(meta)
+    G, B = m["group_users"], m["batch"]
+    nb = m["l_pad"] // B
+    n_dev = mesh.devices.size
+    if m["ngroups"] % n_dev != 0:
+        raise ValueError("ngroups must be a multiple of the device count "
+                         "(pad with empty groups)")
+    groups_local = m["ngroups"] // n_dev
+    fe = W_ext.shape[1]
+    w_lr, w_reg, h_lr, h_reg = rates
+    inv_cu, inv_ci = freq
+
+    def device_fn(W_local, H, gu, gi, gv, gw, key):
+        # W_local: [groups_local*G, fe]; data arrays [groups_local, Lpad]
+        # H is replicated but updated device-locally inside the scan, so
+        # mark it varying for the carry type
+        H = jax.lax.pcast(H, "data", to="varying")
+
+        def group_step(carry, g):
+            W_loc, H = carry
+            H_start = H
+            slab = jax.lax.dynamic_slice(W_loc, (g * G, 0), (G, fe))
+            border = jax.random.permutation(
+                jax.random.fold_in(key, g), nb)
+
+            def batch_step(inner, b):
+                slab, H = inner
+                start = border[b] * B
+                u = jax.lax.dynamic_slice(gu[g], (start,), (B,))
+                i = jax.lax.dynamic_slice(gi[g], (start,), (B,))
+                v = jax.lax.dynamic_slice(gv[g], (start,), (B,))
+                w = jax.lax.dynamic_slice(gw[g], (start,), (B,))
+                wu = slab[u]
+                hi = H[i]
+                score = jnp.sum(wu * hi, axis=-1)
+                if biased:
+                    sig = jax.nn.sigmoid(score + hp["global_bias"])
+                    pred = hp["min_rating"] + sig * hp["rating_range"]
+                    err = v - pred
+                    g_com = _gradient_common(loss, err, sig,
+                                             hp["rating_range"]) * w
+                else:
+                    g_com = (v - (score + hp["global_bias"])) * w
+                if frequency_regularization:
+                    ru = inv_cu[u] * w  # local slab-relative counts
+                    ri = inv_ci[i] * w
+                else:
+                    ru = w
+                    ri = w
+                slab = slab.at[u].add(
+                    w_lr * (g_com[:, None] * hi
+                            - (w * ru)[:, None] * w_reg * wu))
+                H = H.at[i].add(
+                    h_lr * (g_com[:, None] * wu
+                            - (w * ri)[:, None] * h_reg * hi))
+                return (slab, H), None
+
+            (slab, H), _ = jax.lax.scan(batch_step, (slab, H),
+                                        jnp.arange(nb, dtype=jnp.int32))
+            W_loc = jax.lax.dynamic_update_slice(W_loc, slab, (g * G, 0))
+            # merge the devices' item updates (DSGD sub-epoch barrier)
+            H = H_start + jax.lax.psum(H - H_start, "data")
+            return (W_loc, H), None
+
+        (W_local, H), _ = jax.lax.scan(
+            group_step, (W_local, H),
+            jnp.arange(groups_local, dtype=jnp.int32))
+        return W_local, H
+
+    # H's final value is replicated by construction (every device ends on
+    # H_start + psum(deltas)) but the varying-axis checker can't prove it,
+    # hence check_vma=False.
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P("data", None), P(), P("data", None), P("data", None),
+                  P("data", None), P("data", None), P()),
+        out_specs=(P("data", None), P()),
+        check_vma=False)
+    return jax.jit(fn)(W_ext, H_ext, data["gu"], data["gi"], data["gv"],
+                       data["gw"], key)
