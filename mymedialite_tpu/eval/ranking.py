@@ -118,9 +118,30 @@ def evaluate_items(recommender, test, training,
                     training.num_items, test.num_items)
     cand_mask = np.zeros(num_items, dtype=bool)
     cand_mask[cand] = True
+    num_candidates = int(cand_mask.sum())
 
     sums = {m: 0.0 for m in ItemRecommendationResults.ALL_MEASURES}
     num_evaluated = 0
+
+    import jax
+    import jax.numpy as jnp
+    cand_mask_dev = jnp.asarray(cand_mask)
+
+    @jax.jit
+    def batch_ranks(scores, ignore_rows):
+        """Per-user ranks of every item: mask non-candidates and the
+        user's ignore set, sort descending (stable: ties by item id).
+        This replaces the reference's per-user candidate scan."""
+        s = jnp.where(cand_mask_dev[None, :], scores, -jnp.inf)
+        B, P = ignore_rows.shape
+        if P > 0:
+            rows = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+            s = s.at[rows, ignore_rows.reshape(-1)].set(-jnp.inf, mode="drop")
+        order = jnp.argsort(-s, axis=1, stable=True)
+        ranks = jnp.zeros_like(order).at[
+            jnp.arange(order.shape[0])[:, None], order].set(
+            jnp.arange(order.shape[1], dtype=order.dtype)[None, :])
+        return ranks
 
     for start in range(0, test_users.size, batch_size):
         batch = test_users[start:start + batch_size]
@@ -130,6 +151,27 @@ def evaluate_items(recommender, test, training,
             pad = np.full((scores.shape[0], num_items - scores.shape[1]),
                           -np.float32(1e30), dtype=np.float32)
             scores = np.concatenate([scores, pad], axis=1)
+
+        # per-user ignore sets, padded rectangular. Pad with num_items
+        # (positive out-of-range drops in the scatter; -1 would WRAP to
+        # the last item in jax indexing).
+        if repeated_events:
+            ignore_rows = np.full((batch.size, 1), num_items, dtype=np.int32)
+        else:
+            P = 1
+            lists = []
+            for u in batch:
+                items_u = (training.items_by_user(int(u))
+                           if u < training.num_users else
+                           np.array([], dtype=np.int32))
+                lists.append(items_u)
+                P = max(P, items_u.size)
+            ignore_rows = np.full((batch.size, P), num_items, dtype=np.int32)
+            for r, items_u in enumerate(lists):
+                ignore_rows[r, :items_u.size] = items_u
+
+        ranks_dev = np.asarray(batch_ranks(jnp.asarray(scores[:, :num_items]),
+                                           jnp.asarray(ignore_rows)))
 
         for row, u in enumerate(batch):
             test_items_u = test.items_by_user(int(u)) if u < test.num_users else \
@@ -141,19 +183,19 @@ def evaluate_items(recommender, test, training,
             if m == 0:
                 continue
 
-            valid_mask = cand_mask.copy()
-            if not repeated_events and u < training.num_users:
-                train_items_u = training.items_by_user(int(u))
-                valid_mask[train_items_u] = False
-            n_cand = int(valid_mask.sum())
+            if repeated_events or u >= training.num_users:
+                train_items_u = np.array([], dtype=np.int64)
+            else:
+                # unique: repeated (u, i) events must not double-count
+                train_items_u = np.unique(training.items_by_user(int(u)))
+            ignored_in_cand = int(cand_mask[train_items_u].sum())
+            n_cand = num_candidates - ignored_in_cand
             if m == n_cand:
                 continue  # reference Items.cs:163
 
-            s = np.where(valid_mask, scores[row, :num_items], -np.inf)
-            order = np.argsort(-s, kind="stable")
-            ranks = np.empty(num_items, dtype=np.int64)
-            ranks[order] = np.arange(num_items)
-            correct_ranked = np.sort(ranks[correct_mask & valid_mask])
+            valid_correct = correct_mask.copy()
+            valid_correct[train_items_u] = False
+            correct_ranked = np.sort(ranks_dev[row][valid_correct])
 
             cutoff = n_cand if n < 0 else min(n, n_cand)
             user_m = _user_measures(correct_ranked, m, n_cand, cutoff)

@@ -25,8 +25,9 @@ def topk_from_factors(user_rows, item_table, ignore_rows, cand_mask, *,
 
     user_rows:  [B, f] gathered user factors (fused tables work too).
     item_table: [N, f].
-    ignore_rows: [B, P] int32 per-user items to exclude (pad with -1 or
-                 any out-of-range id; out-of-range scatter indices drop).
+    ignore_rows: [B, P] int32 per-user items to exclude; pad with a
+                 POSITIVE out-of-range id (>= N). Negative ids would wrap
+                 to the end of the table in jax indexing.
     cand_mask:  [N] float32 1/0 candidate mask (all-ones for full catalog).
     Returns (ids [B, k], scores [B, k]).
     """
@@ -66,7 +67,7 @@ def recommend_batch(recommender, users, n: int, training=None,
         if training is not None:
             P = max((int(training.count_by_user[batch].max())
                      if batch.size else 1), 1)
-            ignore = np.full((batch.size, P), -1, dtype=np.int32)
+            ignore = np.full((batch.size, P), num_items, dtype=np.int32)
             for r, u in enumerate(batch):
                 if u < training.num_users:
                     items_u = training.items_by_user(int(u))

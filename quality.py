@@ -1,0 +1,94 @@
+"""Quality benchmark: flagship models on ML-1M-shaped synthetic data.
+
+The environment has no network egress (and no mono to run the C#
+reference), so quality is validated on synthetic data with MovieLens-like
+statistics: each model must land in the expected ordering (factor models
+beat biases beat global average; BPR/WRMF beat popularity) with
+literature-plausible margins. Results recorded in BASELINE.md.
+
+Usage: python quality.py [--small]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    small = "--small" in sys.argv
+    from mymedialite_tpu.data.synthetic import (
+        split_posonly, split_ratings, synthetic_posonly, synthetic_ratings,
+    )
+    from mymedialite_tpu.eval import evaluate_items, evaluate_ratings
+    from mymedialite_tpu.models.registry import (
+        create_item_recommender, create_rating_predictor,
+    )
+
+    # --- rating prediction, ML-1M shape ---
+    scale = 0.05 if small else 1.0
+    data = synthetic_ratings(num_users=int(6040 * scale) or 60,
+                             num_items=int(3706 * scale) or 40,
+                             num_ratings=int(1_000_000 * scale) or 5000,
+                             seed=100)
+    train, test = split_ratings(data, 0.1, seed=101)
+    print(f"# rating data: {len(train)} train / {len(test)} test, "
+          f"{train.num_users} users x {train.num_items} items", flush=True)
+
+    rating_configs = [
+        ("GlobalAverage", ""),
+        ("UserItemBaseline", ""),
+        ("BiasedMatrixFactorization", "num_factors=40 num_iter=40"),
+        ("MatrixFactorization", "num_factors=40 num_iter=40"),
+        ("SVDPlusPlus", "num_factors=20 num_iter=25 learn_rate=0.003"),
+        ("ItemKNN", "k=40"),
+    ]
+    from mymedialite_tpu.utils.params import configure
+    for name, opts in rating_configs:
+        m = create_rating_predictor(name)
+        if opts:
+            configure(m, opts)
+        m.ratings = train
+        t0 = time.time()
+        m.train()
+        t_train = time.time() - t0
+        t0 = time.time()
+        res = evaluate_ratings(m, test)
+        t_eval = time.time() - t0
+        print(f"{name:30s} {res}  train {t_train:6.1f}s eval {t_eval:5.1f}s",
+              flush=True)
+
+    # --- item recommendation, implicit ML shape ---
+    pos = synthetic_posonly(num_users=int(6040 * scale) or 60,
+                            num_items=int(3706 * scale) or 40,
+                            num_events=int(500_000 * scale) or 4000,
+                            seed=102)
+    ptrain, ptest = split_posonly(pos, 0.2, seed=103)
+    print(f"# implicit data: {len(ptrain)} train / {len(ptest)} test",
+          flush=True)
+    item_configs = [
+        ("Random", ""),
+        ("MostPopular", ""),
+        ("ItemKNN", "k=80"),
+        ("BPRMF", "num_factors=32 num_iter=50"),
+        ("WRMF", "num_factors=32 num_iter=15"),
+    ]
+    for name, opts in item_configs:
+        m = create_item_recommender(name)
+        if opts:
+            configure(m, opts)
+        m.feedback = ptrain
+        t0 = time.time()
+        m.train()
+        t_train = time.time() - t0
+        t0 = time.time()
+        res = evaluate_items(m, ptest, ptrain)
+        t_eval = time.time() - t0
+        print(f"{name:30s} {res}  train {t_train:6.1f}s eval {t_eval:5.1f}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

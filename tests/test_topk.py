@@ -13,7 +13,7 @@ class TestTopKKernel:
         rng = np.random.default_rng(0)
         W = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
         H = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
-        ignore = jnp.full((8, 2), -1, dtype=jnp.int32)
+        ignore = jnp.full((8, 2), 50, dtype=jnp.int32)  # out-of-range pad
         mask = jnp.ones(50, dtype=jnp.float32)
         ids, scores = topk_from_factors(W, H, ignore, mask, k=5)
         full = np.asarray(W @ H.T)
