@@ -128,10 +128,11 @@ def evaluate_items(recommender, test, training,
     cand_mask_dev = jnp.asarray(cand_mask)
 
     @jax.jit
-    def batch_ranks(scores, ignore_rows):
-        """Per-user ranks of every item: mask non-candidates and the
-        user's ignore set, sort descending (stable: ties by item id).
-        This replaces the reference's per-user candidate scan."""
+    def batch_correct_ranks(scores, ignore_rows, correct_rows):
+        """Rank every item per user (mask non-candidates + the user's
+        ignore set, stable descending sort) and return only the ranks of
+        the users' correct items — the single small device->host
+        transfer. Replaces the reference's per-user candidate scan."""
         s = jnp.where(cand_mask_dev[None, :], scores, -jnp.inf)
         B, P = ignore_rows.shape
         if P > 0:
@@ -141,61 +142,59 @@ def evaluate_items(recommender, test, training,
         ranks = jnp.zeros_like(order).at[
             jnp.arange(order.shape[0])[:, None], order].set(
             jnp.arange(order.shape[1], dtype=order.dtype)[None, :])
-        return ranks
+        # gather the correct items' ranks (pad ids are out-of-range:
+        # clip and overwrite with a too-large rank)
+        cc = jnp.clip(correct_rows, 0, num_items - 1)
+        out = jnp.take_along_axis(ranks, cc, axis=1)
+        return jnp.where(correct_rows < num_items, out, num_items)
+
+    # per-user host-side prep (sets/counts only; no big arrays)
+    def user_prep(u):
+        test_items_u = (test.items_by_user(int(u)) if u < test.num_users
+                        else np.array([], dtype=np.int32))
+        correct = np.unique(test_items_u)
+        correct = correct[cand_mask[correct]]
+        if repeated_events or u >= training.num_users:
+            train_items_u = np.array([], dtype=np.int64)
+        else:
+            train_items_u = np.unique(training.items_by_user(int(u)))
+        ignored_in_cand = int(cand_mask[train_items_u].sum())
+        n_cand = num_candidates - ignored_in_cand
+        return correct, train_items_u, n_cand
 
     for start in range(0, test_users.size, batch_size):
         batch = test_users[start:start + batch_size]
-        scores = np.asarray(recommender.score_catalog(batch), dtype=np.float32)
-        if scores.shape[1] < num_items:
+        scores_dev = recommender.score_catalog_device(batch)
+        if scores_dev.shape[1] < num_items:
             # items unknown to the model rank last, deterministically
-            pad = np.full((scores.shape[0], num_items - scores.shape[1]),
-                          -np.float32(1e30), dtype=np.float32)
-            scores = np.concatenate([scores, pad], axis=1)
+            pad = jnp.full((scores_dev.shape[0],
+                            num_items - scores_dev.shape[1]),
+                           -jnp.float32(1e30))
+            scores_dev = jnp.concatenate([scores_dev, pad], axis=1)
 
-        # per-user ignore sets, padded rectangular. Pad with num_items
-        # (positive out-of-range drops in the scatter; -1 would WRAP to
-        # the last item in jax indexing).
-        if repeated_events:
-            ignore_rows = np.full((batch.size, 1), num_items, dtype=np.int32)
-        else:
-            P = 1
-            lists = []
-            for u in batch:
-                items_u = (training.items_by_user(int(u))
-                           if u < training.num_users else
-                           np.array([], dtype=np.int32))
-                lists.append(items_u)
-                P = max(P, items_u.size)
-            ignore_rows = np.full((batch.size, P), num_items, dtype=np.int32)
-            for r, items_u in enumerate(lists):
-                ignore_rows[r, :items_u.size] = items_u
+        preps = [user_prep(u) for u in batch]
+        # padded rectangular index matrices; pad value num_items is
+        # out-of-range (NEVER -1: jax wraps negative indices)
+        P = max([1] + [t.size for _, t, _ in preps])
+        P2 = max([1] + [c.size for c, _, _ in preps])
+        ignore_rows = np.full((batch.size, P), num_items, dtype=np.int32)
+        correct_rows = np.full((batch.size, P2), num_items, dtype=np.int32)
+        if not repeated_events:
+            for r, (_, train_items_u, _) in enumerate(preps):
+                ignore_rows[r, :train_items_u.size] = train_items_u
+        for r, (correct, _, _) in enumerate(preps):
+            correct_rows[r, :correct.size] = correct
 
-        ranks_dev = np.asarray(batch_ranks(jnp.asarray(scores[:, :num_items]),
-                                           jnp.asarray(ignore_rows)))
+        correct_ranks = np.asarray(batch_correct_ranks(
+            scores_dev, jnp.asarray(ignore_rows), jnp.asarray(correct_rows)))
 
-        for row, u in enumerate(batch):
-            test_items_u = test.items_by_user(int(u)) if u < test.num_users else \
-                np.array([], dtype=np.int32)
-            correct_mask = np.zeros(num_items, dtype=bool)
-            correct_mask[test_items_u] = True
-            correct_mask &= cand_mask
-            m = int(correct_mask.sum())
-            if m == 0:
-                continue
-
-            if repeated_events or u >= training.num_users:
-                train_items_u = np.array([], dtype=np.int64)
-            else:
-                # unique: repeated (u, i) events must not double-count
-                train_items_u = np.unique(training.items_by_user(int(u)))
-            ignored_in_cand = int(cand_mask[train_items_u].sum())
-            n_cand = num_candidates - ignored_in_cand
-            if m == n_cand:
-                continue  # reference Items.cs:163
-
-            valid_correct = correct_mask.copy()
-            valid_correct[train_items_u] = False
-            correct_ranked = np.sort(ranks_dev[row][valid_correct])
+        for row, (correct, train_items_u, n_cand) in enumerate(preps):
+            m = int(correct.size)
+            if m == 0 or m == n_cand:
+                continue  # reference Items.cs:152-163
+            # ranks of ignored (train∩test) correct items are >= n_cand
+            # and fall out of the in-list filter automatically
+            correct_ranked = np.sort(correct_ranks[row, :m])
 
             cutoff = n_cand if n < 0 else min(n, n_cand)
             user_m = _user_measures(correct_ranked, m, n_cand, cutoff)

@@ -61,6 +61,12 @@ class Recommender:
                                         all_items)
         return out
 
+    def score_catalog_device(self, users: np.ndarray):
+        """score_catalog as a device (jnp) array; factor models override
+        to keep the whole scoring pipeline on device."""
+        import jax.numpy as jnp
+        return jnp.asarray(self.score_catalog(users))
+
     def recommend(self, user_id: int, n: int = -1,
                   candidates: Optional[Sequence[int]] = None,
                   ignore_items: Optional[Sequence[int]] = None):

@@ -78,14 +78,17 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         # unknown entities score float.MinValue (reference MF.Predict/BPRMF)
         return np.asarray(jnp.where(ok, score, -np.float32(3.4e38)))
 
-    def score_catalog(self, users):
+    def score_catalog_device(self, users):
         p = self.params
         u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0,
                      p["user_factors"].shape[0] - 1)
         score = p["user_factors"][u] @ p["item_factors"].T
         if "item_bias" in p:
             score = score + p["item_bias"][None, :]
-        return np.asarray(score)
+        return score
+
+    def score_catalog(self, users):
+        return np.asarray(self.score_catalog_device(users))
 
     def save_model(self, path):
         with ModelWriter(path, type(self).__name__, "2.99") as w:

@@ -247,7 +247,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def predict_batch(self, users, items):
         return np.asarray(self._bound(self._scores(users, items)))
 
-    def score_catalog(self, users):
+    def score_catalog_device(self, users):
         u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0,
                      self.W_ext.shape[0] - 1)
         if self.BIASED:
@@ -257,7 +257,10 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             f = self.num_factors
             score = self.global_bias + \
                 self.W_ext[u, :f] @ self.H_ext[:, :f].T
-        return np.asarray(self._bound(score))
+        return self._bound(score)
+
+    def score_catalog(self, users):
+        return np.asarray(self.score_catalog_device(users))
 
     # --- incremental updates (reference MatrixFactorization.cs:262-320) ---
 

@@ -225,13 +225,16 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
                         jnp.sum(uf[uc] * p["item_factors"][ic], -1), 0.0)
         return np.asarray(self._bound(score))
 
-    def score_catalog(self, users):
+    def score_catalog_device(self, users):
         uf = self._user_factors()
         p = self.params
         u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0, uf.shape[0] - 1)
         score = p["global_bias"] + p["user_bias"][u][:, None] + \
             p["item_bias"][None, :] + uf[u] @ p["item_factors"].T
-        return np.asarray(self._bound(score))
+        return self._bound(score)
+
+    def score_catalog(self, users):
+        return np.asarray(self.score_catalog_device(users))
 
     def _retrain(self, users, items):
         """Incremental update: refresh layout and run one epoch over the

@@ -107,82 +107,111 @@ def svdpp_epoch(params, data, hp, *, group_users: int, ngroups: int,
         if use_p:
             p_slab = jax.lax.dynamic_slice(
                 p_["p"], (u0, 0), (G, p_["p"].shape[1]))
-            s_full = s + p_slab
         else:
-            s_full = s
+            p_slab = None
 
-        # --- the group's ratings as one batch ---
-        ru = data["r_user"][g] - u0
-        ri = data["r_item"][g]
-        rv = data["r_value"][g]
-        rm = data["r_mask"][g]
+        # --- the group's ratings, in chunks (the y-part of s stays fixed
+        # within the group, but p/q/biases refresh per chunk — bounding
+        # the aggregated step size like the reference's sequential SGD;
+        # one whole-group update diverges at 1M-rating scale) ---
+        L = data["r_user"].shape[1]
+        C = min(4096, L)
+        n_chunks = (L + C - 1) // C
         bu_slab = jax.lax.dynamic_slice(p_["user_bias"], (u0,), (G,))
-        su = s_full[ru]                       # [L, f]
-        qi_raw = p_["item_factors"][ri]
-        if use_attrs:
-            # gSVD++ (GSVDPlusPlus.cs:115-128): effective item factor
-            # q_i + mean of the item's attribute factors x_a
-            A_rows = data["attr_norm"][ri]            # [L, n_attr]
-            qi = qi_raw + jnp.dot(A_rows, p_["x"],
-                                  preferred_element_type=jnp.float32)
-        else:
-            qi = qi_raw
-        score = p_["global_bias"] + bu_slab[ru] + p_["item_bias"][ri] + \
-            jnp.sum(su * qi, axis=-1)
-        if sigmoid:
-            sig = jax.nn.sigmoid(score)
-            pred = hp["min_rating"] + sig * hp["rating_range"]
-            err = (rv - pred)
-            gcom = _gradient_common(loss, err, sig, hp["rating_range"]) * rm
-        else:
-            err = rv - score
-            gcom = err * rm
+        u_reg_slab = jax.lax.dynamic_slice(hp["user_reg"], (u0,), (G,))
+        f = p_["y"].shape[1]
+        c_acc0 = jnp.zeros((G, f), dtype=jnp.float32)
+        n_acc0 = jnp.zeros((G,), dtype=jnp.float32)
 
-        u_reg = jax.lax.dynamic_slice(hp["user_reg"], (u0,), (G,))[ru]
-        i_reg = hp["item_reg"][ri]
+        def chunk_step(carry, cidx):
+            p_, bu_slab, p_slab_c, c_acc, n_acc = carry
+            start = cidx * C
+            ru = jax.lax.dynamic_slice(data["r_user"][g], (start,), (C,)) - u0
+            ri = jax.lax.dynamic_slice(data["r_item"][g], (start,), (C,))
+            rv = jax.lax.dynamic_slice(data["r_value"][g], (start,), (C,))
+            rm = jax.lax.dynamic_slice(data["r_mask"][g], (start,), (C,))
+            ru = jnp.clip(ru, 0, G - 1)
 
-        # --- bias updates ---
+            if use_p:
+                su = s[ru] + p_slab_c[ru]
+            else:
+                su = s[ru]
+            qi_raw = p_["item_factors"][ri]
+            if use_attrs:
+                # gSVD++ (GSVDPlusPlus.cs:115-128): effective item factor
+                # q_i + mean of the item's attribute factors x_a
+                A_rows = data["attr_norm"][ri]
+                qi = qi_raw + jnp.dot(A_rows, p_["x"],
+                                      preferred_element_type=jnp.float32)
+            else:
+                qi = qi_raw
+            score = p_["global_bias"] + bu_slab[ru] + p_["item_bias"][ri] + \
+                jnp.sum(su * qi, axis=-1)
+            if sigmoid:
+                sig = jax.nn.sigmoid(score)
+                pred = hp["min_rating"] + sig * hp["rating_range"]
+                err = (rv - pred)
+                gcom = _gradient_common(loss, err, sig,
+                                        hp["rating_range"]) * rm
+            else:
+                err = rv - score
+                gcom = err * rm
+
+            u_reg = u_reg_slab[ru]
+            i_reg = hp["item_reg"][ri]
+
+            if update_user:
+                d_bu = hp["bias_learn_rate"] * lr * (
+                    gcom - hp["bias_reg"] * u_reg * rm * bu_slab[ru])
+                bu_slab = bu_slab + jax.ops.segment_sum(d_bu, ru,
+                                                        num_segments=G)
+            if update_item:
+                d_bi = hp["bias_learn_rate"] * lr * (
+                    gcom - hp["bias_reg"] * i_reg * rm * p_["item_bias"][ri])
+                p_["item_bias"] = p_["item_bias"].at[ri].add(d_bi)
+
+            # p update (reference: delta_u = err * q_i - reg * p_u)
+            if use_p and update_user:
+                d_p = gcom[:, None] * qi - (rm * u_reg)[:, None] * p_slab_c[ru]
+                p_slab_c = p_slab_c + lr * jax.ops.segment_sum(
+                    d_p, ru, num_segments=G)
+
+            # q update (reference: delta_i = err * s_u - reg * q_i;
+            # the reg term uses the RAW q row, GSVDPlusPlus.cs:159)
+            if update_item:
+                d_q = gcom[:, None] * su - (rm * i_reg)[:, None] * qi_raw
+                p_["item_factors"] = p_["item_factors"].at[ri].add(lr * d_q)
+                if use_attrs:
+                    # x update (GSVDPlusPlus.cs:163-174)
+                    A_rows = data["attr_norm"][ri] * rm[:, None]
+                    dX = jnp.dot(A_rows.T, gcom[:, None] * su,
+                                 preferred_element_type=jnp.float32)
+                    occ = jnp.sum(jnp.sign(A_rows), axis=0)
+                    dX = dX - (occ * hp["x_reg"])[:, None] * p_["x"]
+                    p_["x"] = p_["x"] + lr * dX
+                # accumulate the y-update coefficients
+                c_acc = c_acc + jax.ops.segment_sum(
+                    (gcom * inv_sqrt[ru])[:, None] * qi, ru, num_segments=G)
+                n_acc = n_acc + jax.ops.segment_sum(rm, ru, num_segments=G)
+            return (p_, bu_slab, p_slab_c, c_acc, n_acc), None
+
+        p_slab_c = p_slab if use_p else jnp.zeros((G, f), dtype=jnp.float32)
+        (p_, bu_slab, p_slab_c, c_acc, n_acc), _ = jax.lax.scan(
+            chunk_step, (p_, bu_slab, p_slab_c, c_acc0, n_acc0),
+            jnp.arange(n_chunks, dtype=jnp.int32))
         if update_user:
-            d_bu = hp["bias_learn_rate"] * lr * (
-                gcom - hp["bias_reg"] * u_reg * rm * bu_slab[ru])
-            bu_slab = bu_slab + jax.ops.segment_sum(d_bu, ru, num_segments=G)
             p_["user_bias"] = jax.lax.dynamic_update_slice(
                 p_["user_bias"], bu_slab, (u0,))
+            if use_p:
+                p_["p"] = jax.lax.dynamic_update_slice(p_["p"], p_slab_c,
+                                                       (u0, 0))
+
+        # --- y update through the history edges (once per group) ---
+        # c_u = sum over the user's ratings of err * q_i / sqrt(|I_u|)
         if update_item:
-            d_bi = hp["bias_learn_rate"] * lr * (
-                gcom - hp["bias_reg"] * i_reg * rm * p_["item_bias"][ri])
-            p_["item_bias"] = p_["item_bias"].at[ri].add(d_bi)
-
-        # --- p update (reference: delta_u = err * q_i - reg * p_u) ---
-        if use_p and update_user:
-            d_p = gcom[:, None] * qi - (rm * u_reg)[:, None] * p_slab[ru]
-            p_slab = p_slab + lr * jax.ops.segment_sum(d_p, ru, num_segments=G)
-            p_["p"] = jax.lax.dynamic_update_slice(p_["p"], p_slab, (u0, 0))
-
-        # --- q update (reference: delta_i = err * s_u - reg * q_i;
-        # the reg term uses the RAW q row, GSVDPlusPlus.cs:159) ---
-        if update_item:
-            d_q = gcom[:, None] * su - (rm * i_reg)[:, None] * qi_raw
-            p_["item_factors"] = p_["item_factors"].at[ri].add(lr * d_q)
-            if use_attrs:
-                # x update (GSVDPlusPlus.cs:163-174):
-                # dx_a = (err/|attrs(i)|) * s_u - x_reg[a] * x_a  per
-                # (rating, attribute) occurrence
-                A_rows = data["attr_norm"][ri] * rm[:, None]
-                dX = jnp.dot(A_rows.T, gcom[:, None] * su,
-                             preferred_element_type=jnp.float32)
-                occ = jnp.sum(jnp.sign(A_rows), axis=0)    # [n_attr]
-                dX = dX - (occ * hp["x_reg"])[:, None] * p_["x"]
-                p_["x"] = p_["x"] + lr * dX
-
-            # --- y update through the history edges ---
-            # c_u = sum over the user's ratings of err * q_i / sqrt(|I_u|)
-            c = jax.ops.segment_sum(
-                (gcom * inv_sqrt[ru])[:, None] * qi, ru, num_segments=G)
-            n_ratings = jax.ops.segment_sum(rm, ru, num_segments=G)  # [G]
             y_rows_now = p_["y"][e_i]
             d_y = e_m[:, None] * (
-                c[e_u] - (n_ratings[e_u] * hp["y_reg"][e_i])[:, None]
+                c_acc[e_u] - (n_acc[e_u] * hp["y_reg"][e_i])[:, None]
                 * y_rows_now)
             p_["y"] = p_["y"].at[e_i].add(lr * d_y)
         return p_, None
