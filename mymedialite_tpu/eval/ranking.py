@@ -29,6 +29,50 @@ from mymedialite_tpu.eval.results import ItemRecommendationResults
 
 CANDIDATE_MODES = ("TRAINING", "TEST", "OVERLAP", "UNION", "EXPLICIT")
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _rank_kernel(score_fn, num_items):
+    """Jitted fused scorer+ranker, cached by (scorer fn, catalog size) so
+    repeated evaluations (--find-iter, CV folds) reuse compiles.
+
+    With ``score_fn`` (a model's pure catalog scorer), the whole batch —
+    score, candidate/ignore masking, stable descending rank, gather of
+    the correct items' ranks — is ONE jitted device call; the only
+    device->host transfer is the small [B, P2] rank matrix. Over the TPU
+    tunnel this is the difference between seconds and minutes: eager ops
+    round-trip per dispatch. With ``score_fn=None``, the second argument
+    carries precomputed scores (host-scoring models)."""
+    import jax
+    import jax.numpy as jnp
+
+    def impl(params, users_or_scores, cand_mask, ignore_rows, correct_rows):
+        if score_fn is None:
+            scores = users_or_scores
+        else:
+            scores = score_fn(params, users_or_scores)
+        if scores.shape[1] < num_items:
+            # items unknown to the model rank last, deterministically
+            scores = jnp.pad(scores,
+                             ((0, 0), (0, num_items - scores.shape[1])),
+                             constant_values=-1e30)
+        s = jnp.where(cand_mask[None, :], scores, -jnp.inf)
+        B, P = ignore_rows.shape
+        rows = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
+        s = s.at[rows, ignore_rows.reshape(-1)].set(-jnp.inf, mode="drop")
+        order = jnp.argsort(-s, axis=1, stable=True)
+        ranks = jnp.zeros_like(order).at[
+            jnp.arange(order.shape[0])[:, None], order].set(
+            jnp.arange(order.shape[1], dtype=order.dtype)[None, :])
+        # gather the correct items' ranks (pad ids are out-of-range:
+        # clip and overwrite with a too-large rank)
+        cc = jnp.clip(correct_rows, 0, num_items - 1)
+        out = jnp.take_along_axis(ranks, cc, axis=1)
+        return jnp.where(correct_rows < num_items, out, num_items)
+
+    return jax.jit(impl)
+
 
 def candidates_for_mode(mode: str, test, training,
                         explicit: Optional[Sequence[int]] = None) -> np.ndarray:
@@ -123,30 +167,15 @@ def evaluate_items(recommender, test, training,
     sums = {m: 0.0 for m in ItemRecommendationResults.ALL_MEASURES}
     num_evaluated = 0
 
-    import jax
     import jax.numpy as jnp
     cand_mask_dev = jnp.asarray(cand_mask)
 
-    @jax.jit
-    def batch_correct_ranks(scores, ignore_rows, correct_rows):
-        """Rank every item per user (mask non-candidates + the user's
-        ignore set, stable descending sort) and return only the ranks of
-        the users' correct items — the single small device->host
-        transfer. Replaces the reference's per-user candidate scan."""
-        s = jnp.where(cand_mask_dev[None, :], scores, -jnp.inf)
-        B, P = ignore_rows.shape
-        if P > 0:
-            rows = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P)
-            s = s.at[rows, ignore_rows.reshape(-1)].set(-jnp.inf, mode="drop")
-        order = jnp.argsort(-s, axis=1, stable=True)
-        ranks = jnp.zeros_like(order).at[
-            jnp.arange(order.shape[0])[:, None], order].set(
-            jnp.arange(order.shape[1], dtype=order.dtype)[None, :])
-        # gather the correct items' ranks (pad ids are out-of-range:
-        # clip and overwrite with a too-large rank)
-        cc = jnp.clip(correct_rows, 0, num_items - 1)
-        out = jnp.take_along_axis(ranks, cc, axis=1)
-        return jnp.where(correct_rows < num_items, out, num_items)
+    scorer = recommender.catalog_scorer()
+    if scorer is not None:
+        score_fn, score_params = scorer
+    else:
+        score_fn, score_params = None, None
+    rank_kernel = _rank_kernel(score_fn, num_items)
 
     # per-user host-side prep (sets/counts only; no big arrays)
     def user_prep(u):
@@ -162,21 +191,34 @@ def evaluate_items(recommender, test, training,
         n_cand = num_candidates - ignored_in_cand
         return correct, train_items_u, n_cand
 
+    def _bucket(size):
+        # power-of-two width buckets keep the jitted rank kernel's shape
+        # set small (otherwise every batch's max history length is a new
+        # shape -> recompile, catastrophic over the TPU tunnel)
+        return 1 << max(0, int(size - 1).bit_length())
+
     for start in range(0, test_users.size, batch_size):
         batch = test_users[start:start + batch_size]
-        scores_dev = recommender.score_catalog_device(batch)
-        if scores_dev.shape[1] < num_items:
-            # items unknown to the model rank last, deterministically
-            pad = jnp.full((scores_dev.shape[0],
-                            num_items - scores_dev.shape[1]),
-                           -jnp.float32(1e30))
-            scores_dev = jnp.concatenate([scores_dev, pad], axis=1)
+        nreal = batch.size
+        if nreal < batch_size and test_users.size > batch_size:
+            # fixed batch shape: pad the ragged tail with the last user
+            batch = np.concatenate(
+                [batch, np.full(batch_size - nreal, batch[-1],
+                                dtype=batch.dtype)])
+        if score_fn is not None:
+            # scoring fuses into the rank kernel (one jitted call)
+            scores_in = jnp.asarray(batch, dtype=jnp.int32)
+        else:
+            # host-scoring models: one transfer per batch
+            scores_in = jnp.asarray(
+                np.asarray(recommender.score_catalog(batch),
+                           dtype=np.float32))
 
-        preps = [user_prep(u) for u in batch]
+        preps = [user_prep(u) for u in batch[:nreal]]
         # padded rectangular index matrices; pad value num_items is
         # out-of-range (NEVER -1: jax wraps negative indices)
-        P = max([1] + [t.size for _, t, _ in preps])
-        P2 = max([1] + [c.size for c, _, _ in preps])
+        P = _bucket(max([1] + [t.size for _, t, _ in preps]))
+        P2 = _bucket(max([1] + [c.size for c, _, _ in preps]))
         ignore_rows = np.full((batch.size, P), num_items, dtype=np.int32)
         correct_rows = np.full((batch.size, P2), num_items, dtype=np.int32)
         if not repeated_events:
@@ -185,8 +227,9 @@ def evaluate_items(recommender, test, training,
         for r, (correct, _, _) in enumerate(preps):
             correct_rows[r, :correct.size] = correct
 
-        correct_ranks = np.asarray(batch_correct_ranks(
-            scores_dev, jnp.asarray(ignore_rows), jnp.asarray(correct_rows)))
+        correct_ranks = np.asarray(rank_kernel(
+            score_params, scores_in, cand_mask_dev,
+            jnp.asarray(ignore_rows), jnp.asarray(correct_rows)))
 
         for row, (correct, train_items_u, n_cand) in enumerate(preps):
             m = int(correct.size)

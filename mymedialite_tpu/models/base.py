@@ -25,6 +25,15 @@ import numpy as np
 from mymedialite_tpu.utils.params import echo
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_scorer(fn):
+    import jax
+    return jax.jit(fn)
+
+
 class Recommender:
     """Root of the recommender hierarchy (reference IRecommender.cs:33-82)."""
 
@@ -61,11 +70,26 @@ class Recommender:
                                         all_items)
         return out
 
+    def catalog_scorer(self):
+        """Optional pure catalog scorer: ``(fn, params)`` where
+        ``fn(params, users_int32) -> [B, num_items_trained]`` device
+        scores. ``fn`` must be a *module-level* function (stable identity
+        so jit caches compile once) with all state in ``params`` (passed
+        as arguments, never closed over — closures inline as HLO
+        constants, which breaks over the TPU tunnel for big tables).
+        None = host scoring only."""
+        return None
+
     def score_catalog_device(self, users: np.ndarray):
-        """score_catalog as a device (jnp) array; factor models override
-        to keep the whole scoring pipeline on device."""
+        """score_catalog as a device (jnp) array, computed in one jitted
+        call when the model provides a catalog_scorer (eager per-op
+        dispatch over the TPU tunnel is orders of magnitude slower)."""
         import jax.numpy as jnp
-        return jnp.asarray(self.score_catalog(users))
+        scorer = self.catalog_scorer()
+        if scorer is None:
+            return jnp.asarray(self.score_catalog(users))
+        fn, params = scorer
+        return _jit_scorer(fn)(params, jnp.asarray(users, dtype=jnp.int32))
 
     def recommend(self, user_id: int, n: int = -1,
                   candidates: Optional[Sequence[int]] = None,

@@ -24,6 +24,16 @@ from mymedialite_tpu.models.base import (
 from mymedialite_tpu.ops import bpr as bpr_ops
 
 
+def _itemmf_catalog(params, users):
+    """Pure catalog scorer for implicit-MF models (module-level: stable
+    jit identity; see Recommender.catalog_scorer)."""
+    u = jnp.clip(users, 0, params["user_factors"].shape[0] - 1)
+    score = params["user_factors"][u] @ params["item_factors"].T
+    if "item_bias" in params:
+        score = score + params["item_bias"][None, :]
+    return score
+
+
 class ItemMF(IncrementalItemRecommender, IterativeModel):
     """Shared factor storage / init / predict / save-load for implicit-MF
     models (reference ItemRecommendation/MF.cs:29-196)."""
@@ -78,14 +88,15 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         # unknown entities score float.MinValue (reference MF.Predict/BPRMF)
         return np.asarray(jnp.where(ok, score, -np.float32(3.4e38)))
 
-    def score_catalog_device(self, users):
+    def catalog_scorer(self):
+        if self.params is None:
+            raise RuntimeError(f"{type(self).__name__}: model not trained")
         p = self.params
-        u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0,
-                     p["user_factors"].shape[0] - 1)
-        score = p["user_factors"][u] @ p["item_factors"].T
+        params = dict(user_factors=p["user_factors"],
+                      item_factors=p["item_factors"])
         if "item_bias" in p:
-            score = score + p["item_bias"][None, :]
-        return score
+            params["item_bias"] = p["item_bias"]
+        return _itemmf_catalog, params
 
     def score_catalog(self, users):
         return np.asarray(self.score_catalog_device(users))

@@ -46,6 +46,26 @@ _LOSS_ID = {
 }
 
 
+# module-level pure catalog scorers (stable identity -> one jit compile;
+# see Recommender.catalog_scorer)
+
+def _mf_catalog_raw(params, users):
+    W, H = params["W"], params["H"]
+    u = jnp.clip(users, 0, W.shape[0] - 1)
+    return params["global_bias"] + W[u] @ H.T
+
+
+def _mf_catalog_clip(params, users):
+    return jnp.clip(_mf_catalog_raw(params, users),
+                    params["min_rating"], params["max_rating"])
+
+
+def _mf_catalog_sigmoid(params, users):
+    rng = jnp.maximum(params["max_rating"] - params["min_rating"], 1e-9)
+    return params["min_rating"] + \
+        jax.nn.sigmoid(_mf_catalog_raw(params, users)) * rng
+
+
 class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
                           FoldInRatingPredictor):
     """Plain MF: prediction = global_bias + <w_u, h_i>, clamped to the
@@ -247,17 +267,24 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def predict_batch(self, users, items):
         return np.asarray(self._bound(self._scores(users, items)))
 
-    def score_catalog_device(self, users):
-        u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0,
-                     self.W_ext.shape[0] - 1)
+    BOUND = "clip"  # BiasedMF overrides with "sigmoid"
+
+    def catalog_scorer(self):
+        if self.W_ext is None:
+            raise RuntimeError(f"{type(self).__name__}: model not trained")
         if self.BIASED:
             # fused dot includes both biases
-            score = self.global_bias + self.W_ext[u] @ self.H_ext.T
+            W, H = self.W_ext, self.H_ext
         else:
             f = self.num_factors
-            score = self.global_bias + \
-                self.W_ext[u, :f] @ self.H_ext[:, :f].T
-        return self._bound(score)
+            W, H = self.W_ext[:, :f], self.H_ext[:, :f]
+        params = dict(W=W, H=H,
+                      global_bias=jnp.float32(self.global_bias),
+                      min_rating=jnp.float32(self.min_rating),
+                      max_rating=jnp.float32(self.max_rating))
+        fn = _mf_catalog_sigmoid if self.BOUND == "sigmoid" \
+            else _mf_catalog_clip
+        return fn, params
 
     def score_catalog(self, users):
         return np.asarray(self.score_catalog_device(users))
@@ -550,6 +577,8 @@ class BiasedMatrixFactorization(MatrixFactorization):
             self._last_loss = loss
         else:
             self.current_learnrate *= self.learn_rate_decay
+
+    BOUND = "sigmoid"
 
     def _bound(self, score):
         rng = max(self.max_rating - self.min_rating, 1e-9)

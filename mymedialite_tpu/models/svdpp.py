@@ -24,6 +24,31 @@ from mymedialite_tpu.models.mf import OptimizationTarget, _LOSS_ID
 from mymedialite_tpu.ops import sgd, svdpp as svdpp_ops
 
 
+def _svdpp_catalog_raw(params, users):
+    """Pure catalog scorer for the SVD++ family (module-level: stable
+    jit identity; see Recommender.catalog_scorer)."""
+    uf = params["uf"]
+    u = jnp.clip(users, 0, uf.shape[0] - 1)
+    return params["global_bias"] + params["user_bias"][u][:, None] + \
+        params["item_bias"][None, :] + uf[u] @ params["item_factors"].T
+
+
+def _svdpp_catalog_clip(params, users):
+    return jnp.clip(_svdpp_catalog_raw(params, users),
+                    params["min_rating"], params["max_rating"])
+
+
+def _svdpp_catalog_sigmoid(params, users):
+    rng = jnp.maximum(params["max_rating"] - params["min_rating"], 1e-9)
+    return params["min_rating"] + \
+        jax.nn.sigmoid(_svdpp_catalog_raw(params, users)) * rng
+
+
+def _svdpp_catalog_combined(params, users):
+    return 0.5 * (_svdpp_catalog_sigmoid(params["item"], users)
+                  + _svdpp_catalog_sigmoid(params["user"], users))
+
+
 class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
     """prediction(u,i) = mu + b_u + b_i + <q_i, p_u + |I_u|^-1/2 sum y_j>,
     clamped; transductive (test-user histories join I_u via
@@ -225,13 +250,21 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
                         jnp.sum(uf[uc] * p["item_factors"][ic], -1), 0.0)
         return np.asarray(self._bound(score))
 
-    def score_catalog_device(self, users):
-        uf = self._user_factors()
-        p = self.params
-        u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0, uf.shape[0] - 1)
-        score = p["global_bias"] + p["user_bias"][u][:, None] + \
-            p["item_bias"][None, :] + uf[u] @ p["item_factors"].T
-        return self._bound(score)
+    def catalog_scorer(self):
+        if self.params is None:
+            raise RuntimeError(f"{type(self).__name__}: model not trained")
+        params = dict(uf=self._user_factors(),
+                      item_factors=self._catalog_item_factors(),
+                      global_bias=self.params["global_bias"],
+                      user_bias=self.params["user_bias"],
+                      item_bias=self.params["item_bias"],
+                      min_rating=jnp.float32(self.min_rating),
+                      max_rating=jnp.float32(self.max_rating))
+        fn = _svdpp_catalog_sigmoid if self.SIGMOID else _svdpp_catalog_clip
+        return fn, params
+
+    def _catalog_item_factors(self):
+        return self.params["item_factors"]
 
     def score_catalog(self, users):
         return np.asarray(self.score_catalog_device(users))
@@ -382,14 +415,23 @@ class SigmoidUserAsymmetricFactorModel(SigmoidSVDPlusPlus):
     def predict_batch(self, users, items):
         return self._inner.predict_batch(items, users)
 
+    def catalog_scorer(self):
+        # role swap: original users index the inner model's item axis,
+        # the catalog axis is the inner model's (real) users
+        inner = self._inner
+        ip = inner.params
+        nI = inner.num_users_trained
+        params = dict(uf=ip["item_factors"],
+                      item_factors=inner._user_factors()[:nI],
+                      user_bias=ip["item_bias"],
+                      item_bias=ip["user_bias"][:nI],
+                      global_bias=ip["global_bias"],
+                      min_rating=jnp.float32(self.min_rating),
+                      max_rating=jnp.float32(self.max_rating))
+        return _svdpp_catalog_sigmoid, params
+
     def score_catalog(self, users):
-        users = np.asarray(users, dtype=np.int64)
-        out = np.empty((users.size, self.num_items_trained), dtype=np.float32)
-        items = np.arange(self.num_items_trained, dtype=np.int32)
-        for r, u in enumerate(users):
-            out[r] = self._inner.predict_batch(
-                items, np.full(items.size, u, dtype=np.int32))
-        return out
+        return np.asarray(self.score_catalog_device(users))
 
     def save_model(self, path):
         self._inner.save_model(path)
@@ -446,6 +488,14 @@ class SigmoidCombinedAsymmetricFactorModel(SigmoidSVDPlusPlus):
     def predict_batch(self, users, items):
         return 0.5 * (self._item_afm.predict_batch(users, items)
                       + self._user_afm.predict_batch(users, items))
+
+    def catalog_scorer(self):
+        _, pa = self._item_afm.catalog_scorer()
+        _, pb = self._user_afm.catalog_scorer()
+        return _svdpp_catalog_combined, {"item": pa, "user": pb}
+
+    def score_catalog(self, users):
+        return np.asarray(self.score_catalog_device(users))
 
     def save_model(self, path):
         self._item_afm.save_model(path + "-item")
@@ -536,14 +586,8 @@ class GSVDPlusPlus(SVDPlusPlus):
             + jnp.where(u_ok & i_ok, jnp.sum(uf[uc] * q_eff[ic], -1), 0.0)
         return np.asarray(self._bound(score))
 
-    def score_catalog(self, users):
-        uf = self._user_factors()
-        p = self.params
-        q_eff = self._effective_item_factors()
-        u = jnp.clip(jnp.asarray(users, dtype=jnp.int32), 0, uf.shape[0] - 1)
-        score = p["global_bias"] + p["user_bias"][u][:, None] + \
-            p["item_bias"][None, :] + uf[u] @ q_eff.T
-        return np.asarray(self._bound(score))
+    def _catalog_item_factors(self):
+        return self._effective_item_factors()
 
     def save_model(self, path):
         U = self.num_users_trained
