@@ -49,6 +49,45 @@ def add_common_options(parser: argparse.ArgumentParser):
     add("--online-evaluation", action="store_true")
     add("--no-id-mapping", action="store_true")
     add("--show-fold-results", action="store_true")
+    add("--version", action="store_true",
+        help="display version information and exit")
+    add("--help-measures", action="store_true",
+        help="list the supported evaluation measures and exit")
+
+
+VERSION = "3.13"
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache for the CLI programs: repeated
+    invocations (shell pipelines, golden tests) skip recompiles — over a
+    remote-TPU link first compiles dominate wall-clock. Opt out with
+    MMLT_COMPILE_CACHE=0."""
+    cache_dir = os.environ.get(
+        "MMLT_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/mymedialite_tpu/xla"))
+    if not cache_dir or cache_dir == "0":
+        return
+    try:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort
+
+
+def handle_info_flags(args, prog_name: str, measures):
+    """--version / --help-measures (reference CommandLineProgram.cs:198-234,
+    RatingPrediction.cs:64-66 version banner)."""
+    if args.version:
+        print(f"MyMediaLite-TPU {prog_name} {VERSION}")
+        sys.exit(0)
+    if args.help_measures:
+        print("The following evaluation measures are supported by "
+              f"{prog_name}:")
+        print("  " + ", ".join(measures))
+        sys.exit(0)
 
 
 def data_path(args, filename):

@@ -37,6 +37,8 @@ def build_parser():
         help="file with candidate items, one per line")
     add("--test-users", default=None, help="file with test users, one per line")
     add("--predict-items-number", type=int, default=-1)
+    add("--num-test-users", type=int, default=-1,
+        help="evaluate on only N randomly picked users")
     add("--rating-threshold", type=float, default=None)
     add("--file-format", choices=["default", "ignore_first_line", "rating_data"],
         default="default")
@@ -95,6 +97,10 @@ def write_predictions(recommender, training, path, user_mapping, item_mapping,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from mymedialite_tpu.eval.results import ItemRecommendationResults
+    common.handle_info_flags(args, "item_recommendation",
+                             ItemRecommendationResults.ALL_MEASURES)
+    common.enable_compile_cache()
     timer = common.PhaseTimer()
 
     name = args.recommender or "MostPopular"
@@ -150,6 +156,18 @@ def main(argv=None):
         training_data, test_data = posonly_simple_split(
             training_data, args.test_ratio, rng)
 
+    if args.user_prediction:
+        # recommend users for items (reference ItemRecommendation.cs:389-409):
+        # swap the test-users/candidate-items files and the mappings, then
+        # transpose the feedback matrices
+        args.test_users, args.candidate_items = \
+            args.candidate_items, args.test_users
+        user_mapping, item_mapping = item_mapping, user_mapping
+        if training_data is not None:
+            training_data = training_data.transpose()
+        if test_data is not None:
+            test_data = test_data.transpose()
+
     explicit_candidates = None
     if args.candidate_items:
         with open(common.data_path(args, args.candidate_items)) as f:
@@ -160,6 +178,16 @@ def main(argv=None):
         with open(common.data_path(args, args.test_users)) as f:
             test_users = [user_mapping.to_internal(line.strip())
                           for line in f if line.strip()]
+
+    if args.num_test_users > 0:
+        # random user sampling (reference ItemRecommendation.cs:421-432)
+        pool = np.asarray(test_users) if test_users is not None else (
+            test_data.all_users if test_data is not None
+            else training_data.all_users)
+        if args.num_test_users < pool.size:
+            rng = np.random.default_rng(args.random_seed or 0)
+            test_users = np.sort(rng.choice(pool, size=args.num_test_users,
+                                            replace=False))
 
     if args.cross_validation > 1:
         print(str(recommender))

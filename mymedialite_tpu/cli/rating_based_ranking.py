@@ -63,6 +63,10 @@ def to_posonly(data):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from mymedialite_tpu.eval.results import ItemRecommendationResults
+    common.handle_info_flags(args, "rating_based_ranking",
+                             ItemRecommendationResults.ALL_MEASURES)
+    common.enable_compile_cache()
     timer = common.PhaseTimer()
 
     name = args.recommender or "BiasedMatrixFactorization"

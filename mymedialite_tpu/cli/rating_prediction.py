@@ -42,6 +42,13 @@ def build_parser():
                    default="default")
     p.add_argument("--chronological-split", default=None)
     p.add_argument("--search-hp", action="store_true")
+    p.add_argument("--prediction-line", default="{0}\t{1}\t{2}",
+                   help="format of the prediction line; {0}, {1}, {2} "
+                        "refer to user ID, item ID, and predicted rating")
+    p.add_argument("--prediction-header", default=None)
+    p.add_argument("--test-no-ratings", action="store_true",
+                   help="test file contains no rating column; requires "
+                        "--prediction-file")
     return p
 
 
@@ -56,18 +63,26 @@ def load_ratings(args, path, user_mapping, item_mapping, timed=False):
                             ignore_first_line=ignore_first)
 
 
-def write_predictions(recommender, test, path, user_mapping, item_mapping):
+def write_predictions(recommender, test, path, user_mapping, item_mapping,
+                      line_format="{0}\t{1}\t{2}", header=None):
     """Reference RatingPrediction/Extensions.WritePredictions: one
-    'user<TAB>item<TAB>prediction' line per test rating."""
+    'user<TAB>item<TAB>prediction' line per test rating; the line layout
+    is a composite format string ({0}=user, {1}=item, {2}=prediction)."""
     preds = recommender.predict_batch(test.users, test.items)
     with open(path, "w") as f:
+        if header is not None:
+            f.write(header + "\n")
         for u, i, p in zip(test.users, test.items, preds):
-            f.write(f"{user_mapping.to_original(int(u))}\t"
-                    f"{item_mapping.to_original(int(i))}\t{p:.6g}\n")
+            f.write(line_format.format(user_mapping.to_original(int(u)),
+                                       item_mapping.to_original(int(i)),
+                                       f"{p:.6g}") + "\n")
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common.handle_info_flags(args, "rating_prediction",
+                             ("RMSE", "MAE", "NMAE", "CBD"))
+    common.enable_compile_cache()
     timer = common.PhaseTimer()
 
     name = args.recommender or "BiasedMatrixFactorization"
@@ -122,8 +137,19 @@ def main(argv=None):
         print(f"loading_time {loading_time:.2f}", file=sys.stderr)
 
     if args.test_file:
-        test_data = load_ratings(args, common.data_path(args, args.test_file),
-                                 user_mapping, item_mapping, timed=timed)
+        if args.test_no_ratings:
+            if not args.prediction_file:
+                common.abort("--test-no-ratings requires "
+                             "--prediction-file=FILE.")
+            from mymedialite_tpu.data.io import read_rating_data_no_ratings
+            test_data = read_rating_data_no_ratings(
+                common.data_path(args, args.test_file),
+                user_mapping, item_mapping,
+                ignore_first_line=args.file_format == "ignore_first_line")
+        else:
+            test_data = load_ratings(
+                args, common.data_path(args, args.test_file),
+                user_mapping, item_mapping, timed=timed)
         # test may reference entities unseen in training
         if training_data is not None:
             n_users = max(training_data.num_users, test_data.num_users)
@@ -191,7 +217,9 @@ def main(argv=None):
                 if args.prediction_file:
                     write_predictions(recommender, test_data,
                                       f"{args.prediction_file}-it-{it}",
-                                      user_mapping, item_mapping)
+                                      user_mapping, item_mapping,
+                                      args.prediction_line,
+                                      args.prediction_header)
                 if args.epsilon > 0 and \
                         results["RMSE"] - min(eval_history) > args.epsilon:
                     print(f"{results['RMSE']} >> {min(eval_history)}",
@@ -221,7 +249,7 @@ def main(argv=None):
     if args.load_model is None and training_data is not None:
         _, train_seconds = timer.measure("training", recommender.train)
         print(f"training_time {common.fmt_seconds(train_seconds)} ", end="")
-    if test_data is not None:
+    if test_data is not None and not args.test_no_ratings:
         if args.online_evaluation:
             results, eval_seconds = timer.measure(
                 "evaluation",
@@ -237,7 +265,8 @@ def main(argv=None):
     print()
     if args.prediction_file and test_data is not None:
         write_predictions(recommender, test_data, args.prediction_file,
-                          user_mapping, item_mapping)
+                          user_mapping, item_mapping,
+                          args.prediction_line, args.prediction_header)
     if args.save_model:
         recommender.save_model(args.save_model)
     common.save_mappings(args, user_mapping, item_mapping)

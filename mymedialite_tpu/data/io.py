@@ -108,6 +108,31 @@ def read_rating_data(filename: str, user_mapping: Mapping = None,
     return data
 
 
+def read_rating_data_no_ratings(filename: str, user_mapping=None,
+                                item_mapping=None,
+                                ignore_first_line: bool = False,
+                                separator: Optional[str] = None) -> RatingData:
+    """``user item`` test files without a rating column (reference
+    TestRatingFileFormat.WITHOUT_RATINGS, IO/StaticRatingData.cs:106):
+    ratings read as 0; used with --test-no-ratings + --prediction-file."""
+    user_mapping = IdentityMapping() if user_mapping is None else user_mapping
+    item_mapping = IdentityMapping() if item_mapping is None else item_mapping
+    users, items = [], []
+    with open(filename) as f:
+        if ignore_first_line:
+            f.readline()
+        for line in f:
+            if not line.strip():
+                continue
+            tokens = _tokenize(line, separator)
+            if len(tokens) < 2:
+                raise ValueError(f"Expected at least 2 columns: {line!r}")
+            users.append(user_mapping.to_internal(tokens[0]))
+            items.append(item_mapping.to_internal(tokens[1]))
+    return RatingData(users, items,
+                      np.zeros(len(users), dtype=np.float32))
+
+
 def read_movielens_1m_rating_data(filename: str, user_mapping=None,
                                   item_mapping=None) -> RatingData:
     """MovieLens-1M ``user::item::rating::timestamp`` format

@@ -106,6 +106,55 @@ class TestRatingPredictionCLI:
         assert rc == 0
         assert "RMSE" in capsys.readouterr().out
 
+    def test_version_and_help_measures(self, capsys):
+        with pytest.raises(SystemExit) as exc:
+            rating_prediction.main(["--version"])
+        assert exc.value.code == 0
+        assert "MyMediaLite-TPU rating_prediction" in capsys.readouterr().out
+        with pytest.raises(SystemExit) as exc:
+            rating_prediction.main(["--help-measures"])
+        assert exc.value.code == 0
+        assert "RMSE" in capsys.readouterr().out
+
+    def test_prediction_line_and_header(self, tmp_path, capsys):
+        pred = str(tmp_path / "preds.txt")
+        rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "GlobalAverage", "--prediction-file", pred,
+            "--prediction-line", "{1},{0},{2}",
+            "--prediction-header", "item,user,score"])
+        capsys.readouterr()
+        lines = open(pred).read().strip().split("\n")
+        assert lines[0] == "item,user,score"
+        assert len(lines) == 5
+        # columns swapped: first token is the item id
+        test_lines = open(TEST).read().strip().split("\n")
+        assert lines[1].split(",")[0] == test_lines[0].split()[1]
+
+    def test_test_no_ratings(self, tmp_path, capsys):
+        nr = tmp_path / "nr.test"
+        with open(TEST) as f:
+            rows = [line.split()[:2] for line in f if line.strip()]
+        with open(nr, "w") as f:
+            for u, i in rows:
+                f.write(f"{u}\t{i}\n")
+        pred = str(tmp_path / "preds.txt")
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--test-file", str(nr),
+            "--test-no-ratings", "--prediction-file", pred,
+            "--recommender", "UserItemBaseline"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "RMSE" not in out  # no rating column -> no evaluation
+        lines = open(pred).read().strip().split("\n")
+        assert len(lines) == len(rows)
+
+    def test_test_no_ratings_requires_prediction_file(self, capsys):
+        with pytest.raises(SystemExit):
+            rating_prediction.main([
+                "--training-file", TRAIN, "--test-file", TEST,
+                "--test-no-ratings", "--recommender", "GlobalAverage"])
+
 
 class TestItemRecommendationCLI:
     def test_basic(self, implicit_files, capsys):
@@ -156,3 +205,34 @@ class TestItemRecommendationCLI:
             "--recommender", "MostPopular", "--online-evaluation"])
         assert rc == 0
         assert "AUC" in capsys.readouterr().out
+
+    def test_num_test_users(self, implicit_files, capsys):
+        train, test = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular", "--num-test-users", "5",
+            "--random-seed", "1"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        num_lists = int(re.search(r"num_lists (\d+)", out).group(1))
+        assert num_lists <= 5
+
+    def test_user_prediction(self, implicit_files, capsys):
+        """--user-prediction recommends users for items: evaluation runs
+        on the transposed feedback (reference ItemRecommendation.cs:389-409)."""
+        train, test = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular", "--user-prediction"])
+        assert rc == 0
+        out_t = capsys.readouterr().out
+        assert "AUC" in out_t
+        # num_items now counts users (30 > catalog of 40? sanity: differs
+        # from the untransposed run's num_items)
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "MostPopular"])
+        out = capsys.readouterr().out
+        ni_t = int(re.search(r"num_items (\d+)", out_t).group(1))
+        ni = int(re.search(r"num_items (\d+)", out).group(1))
+        assert ni_t != ni
