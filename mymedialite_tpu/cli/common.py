@@ -120,6 +120,47 @@ def abort(message: str):
     sys.exit(1)
 
 
+def wire_side_information(args, recommender, user_mapping, item_mapping):
+    """Load --user-attributes/--item-attributes/--user-relations/
+    --item-relations files into the recommender (reference
+    CommandLineProgram.cs:255-267 + per-program CheckParameters, e.g.
+    RatingPrediction.cs:333-380: attribute-aware recommenders require
+    their file)."""
+    from mymedialite_tpu.data.io import read_attribute_data, read_relation_data
+    if args.user_attributes:
+        if not hasattr(recommender, "user_attributes"):
+            abort(f"Recommender {type(recommender).__name__} does not "
+                  "support --user-attributes.")
+        recommender.user_attributes = read_attribute_data(
+            data_path(args, args.user_attributes), user_mapping)
+    if args.item_attributes:
+        if not hasattr(recommender, "item_attributes"):
+            abort(f"Recommender {type(recommender).__name__} does not "
+                  "support --item-attributes.")
+        recommender.item_attributes = read_attribute_data(
+            data_path(args, args.item_attributes), item_mapping)
+    if args.user_relations:
+        if not hasattr(recommender, "user_relation"):
+            abort(f"Recommender {type(recommender).__name__} does not "
+                  "support --user-relations.")
+        recommender.user_relation = read_relation_data(
+            data_path(args, args.user_relations), user_mapping)
+    if args.item_relations:
+        if not hasattr(recommender, "item_relation"):
+            abort(f"Recommender {type(recommender).__name__} does not "
+                  "support --item-relations.")
+        recommender.item_relation = read_relation_data(
+            data_path(args, args.item_relations), item_mapping)
+    for attr, flag in (("user_attributes", "--user-attributes"),
+                       ("item_attributes", "--item-attributes"),
+                       ("user_relation", "--user-relations"),
+                       ("item_relation", "--item-relations")):
+        if attr in getattr(type(recommender), "REQUIRED_SIDE_INFO", ()) \
+                and getattr(recommender, attr, None) is None:
+            abort(f"Recommender {type(recommender).__name__} requires "
+                  f"{flag}=FILE.")
+
+
 class PhaseTimer:
     """Timing stats per phase (reference Wrap.MeasureTime +
     CommandLineProgram.cs:328-348 min/max/avg report)."""

@@ -88,6 +88,7 @@ def main(argv=None):
         common.abort("Please provide --test-file=FILE.")
 
     user_mapping, item_mapping = common.make_mappings(args)
+    common.wire_side_information(args, recommender, user_mapping, item_mapping)
     training_data = load_ratings(args, common.data_path(args,
                                                         args.training_file),
                                  user_mapping, item_mapping)

@@ -122,6 +122,7 @@ def main(argv=None):
     if hasattr(recommender, "user_mapping"):
         recommender.user_mapping = user_mapping
         recommender.item_mapping = item_mapping
+    common.wire_side_information(args, recommender, user_mapping, item_mapping)
 
     # time-aware recommenders need the timestamp column
     # (reference RatingPrediction.LoadData dispatches on

@@ -101,6 +101,7 @@ class RandomItem(ItemRecommender):
 
 
 class MostPopularByAttributes(ItemRecommender):
+    REQUIRED_SIDE_INFO = ("item_attributes",)
     """Popularity within item-attribute groups
     (reference MostPopularByAttributes.cs:47-120): score =
     (1 + sum of the user's per-attribute counts over the item's

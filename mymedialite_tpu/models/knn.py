@@ -198,6 +198,7 @@ class UserAttributeKNN(_ImplicitKNN):
     """Reference ItemRecommendation/UserAttributeKNN.cs:26."""
     ENTITY = "user"
     ATTRIBUTES = True
+    REQUIRED_SIDE_INFO = ("user_attributes",)
 
     @property
     def user_attributes(self):
@@ -212,6 +213,7 @@ class ItemAttributeKNN(_ImplicitKNN):
     """Reference ItemRecommendation/ItemAttributeKNN.cs:26."""
     ENTITY = "item"
     ATTRIBUTES = True
+    REQUIRED_SIDE_INFO = ("item_attributes",)
 
     @property
     def item_attributes(self):
@@ -386,6 +388,7 @@ class UserAttributeKNNRating(_RatingKNN):
     """Reference RatingPrediction/UserAttributeKNN.cs."""
     ENTITY = "user"
     ATTRIBUTES = True
+    REQUIRED_SIDE_INFO = ("user_attributes",)
 
     def __init__(self):
         super().__init__()
@@ -404,6 +407,7 @@ class ItemAttributeKNNRating(_RatingKNN):
     """Reference RatingPrediction/ItemAttributeKNN.cs."""
     ENTITY = "item"
     ATTRIBUTES = True
+    REQUIRED_SIDE_INFO = ("item_attributes",)
 
     def __init__(self):
         super().__init__()

@@ -27,6 +27,7 @@ from mymedialite_tpu.ops import sgd
 
 
 class SocialMF(BiasedMatrixFactorization):
+    REQUIRED_SIDE_INFO = ("user_relation",)
     HYPERPARAMS = dict(BiasedMatrixFactorization.HYPERPARAMS,
                        social_regularization=float)
 

@@ -517,6 +517,8 @@ class GSVDPlusPlus(SVDPlusPlus):
     SVD++ whose effective item factor is q_i plus the mean of the item's
     attribute factors x_a."""
 
+    REQUIRED_SIDE_INFO = ("item_attributes",)
+
     def __init__(self):
         super().__init__()
         self.item_attributes = None  # InteractionData: item -> attribute

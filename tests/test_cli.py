@@ -206,6 +206,27 @@ class TestItemRecommendationCLI:
         assert rc == 0
         assert "AUC" in capsys.readouterr().out
 
+    def test_side_information_wiring(self, implicit_files, tmp_path, capsys):
+        """--item-attributes loads into the recommender; attribute-aware
+        recommenders abort without their file (reference
+        CommandLineProgram.cs:255-267 + CheckParameters)."""
+        train, test = implicit_files
+        attrs = tmp_path / "attrs"
+        with open(attrs, "w") as f:
+            for i in range(40):
+                f.write(f"{i}\t{i % 4}\n")
+        rc = item_recommendation.main([
+            "--training-file", train, "--test-file", test,
+            "--recommender", "ItemAttributeKNN",
+            "--item-attributes", str(attrs)])
+        assert rc == 0
+        assert "AUC" in capsys.readouterr().out
+        with pytest.raises(SystemExit):
+            item_recommendation.main([
+                "--training-file", train, "--test-file", test,
+                "--recommender", "ItemAttributeKNN"])
+        capsys.readouterr()
+
     def test_num_test_users(self, implicit_files, capsys):
         train, test = implicit_files
         rc = item_recommendation.main([
