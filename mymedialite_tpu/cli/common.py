@@ -167,6 +167,8 @@ class PhaseTimer:
 
     def __init__(self):
         self.stats = {}
+        global _LAST_TIMER
+        _LAST_TIMER = self
 
     def measure(self, phase: str, fn):
         t0 = time.time()
@@ -179,6 +181,29 @@ class PhaseTimer:
             if len(times) > 1:
                 print(f"{phase}_time: min={min(times):.3f} max={max(times):.3f} "
                       f"avg={np.mean(times):.3f}", file=out)
+        print(f"memory {memory_usage_mb()}", file=out)
+
+
+def memory_usage_mb() -> int:
+    """Process peak RSS in MB (reference Memory.Usage, Memory.cs:26, and
+    the 'memory N' line in CommandLineProgram.DisplayStats :348)."""
+    import resource
+    kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    return int(kb // 1024)
+
+
+_LAST_TIMER = None
+
+
+def run_program(main):
+    """CLI entry wrapper: Ctrl-C prints the phase stats before exiting
+    (reference AbortHandler -> DisplayStats, CommandLineProgram.cs:323-326)."""
+    try:
+        sys.exit(main())
+    except KeyboardInterrupt:
+        if _LAST_TIMER is not None:
+            _LAST_TIMER.report()
+        sys.exit(130)
 
 
 def seed_everything(args, recommender):
