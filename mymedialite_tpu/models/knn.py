@@ -183,18 +183,43 @@ class _ImplicitKNN(IncrementalItemRecommender):
     def get_similarity(self, a, b):
         return float(self.corr[a, b])
 
+    def get_most_similar(self, entity_id, n=10):
+        """All entities but self, by descending correlation, first n
+        (reference Correlation/Extensions.GetNearestNeighbors :153-166)."""
+        return corr_ops.nearest_neighbors(self.corr, int(n))[entity_id]
 
-class UserKNN(_ImplicitKNN):
+
+class _UserSimilarityProvider:
+    """Reference IUserSimilarityProvider.cs:7-19."""
+
+    def get_user_similarity(self, user_id1, user_id2):
+        return self.get_similarity(user_id1, user_id2)
+
+    def get_most_similar_users(self, user_id, n=10):
+        return self.get_most_similar(user_id, n)
+
+
+class _ItemSimilarityProvider:
+    """Reference IItemSimilarityProvider.cs:7-19."""
+
+    def get_item_similarity(self, item_id1, item_id2):
+        return self.get_similarity(item_id1, item_id2)
+
+    def get_most_similar_items(self, item_id, n=10):
+        return self.get_most_similar(item_id, n)
+
+
+class UserKNN(_ImplicitKNN, _UserSimilarityProvider):
     """Reference ItemRecommendation/UserKNN.cs:30."""
     ENTITY = "user"
 
 
-class ItemKNN(_ImplicitKNN):
+class ItemKNN(_ImplicitKNN, _ItemSimilarityProvider):
     """Reference ItemRecommendation/ItemKNN.cs:31."""
     ENTITY = "item"
 
 
-class UserAttributeKNN(_ImplicitKNN):
+class UserAttributeKNN(_ImplicitKNN, _UserSimilarityProvider):
     """Reference ItemRecommendation/UserAttributeKNN.cs:26."""
     ENTITY = "user"
     ATTRIBUTES = True
@@ -209,7 +234,7 @@ class UserAttributeKNN(_ImplicitKNN):
         self.attributes = data
 
 
-class ItemAttributeKNN(_ImplicitKNN):
+class ItemAttributeKNN(_ImplicitKNN, _ItemSimilarityProvider):
     """Reference ItemRecommendation/ItemAttributeKNN.cs:26."""
     ENTITY = "item"
     ATTRIBUTES = True
@@ -358,6 +383,12 @@ class _RatingKNN(IncrementalRatingPredictor):
         if self.corr is not None:
             self.train()
 
+    def get_similarity(self, a, b):
+        return float(self.corr[a, b])
+
+    def get_most_similar(self, entity_id, n=10):
+        return corr_ops.nearest_neighbors(self.corr, int(n))[entity_id]
+
     def save_model(self, path):
         self.baseline.ratings = self.ratings
         self.baseline.save_model(path + "-global-effects")
@@ -374,17 +405,17 @@ class _RatingKNN(IncrementalRatingPredictor):
             self.corr = r.matrix()
 
 
-class UserKNNRating(_RatingKNN):
+class UserKNNRating(_RatingKNN, _UserSimilarityProvider):
     """Reference RatingPrediction/UserKNN.cs:28."""
     ENTITY = "user"
 
 
-class ItemKNNRating(_RatingKNN):
+class ItemKNNRating(_RatingKNN, _ItemSimilarityProvider):
     """Reference RatingPrediction/ItemKNN.cs:28."""
     ENTITY = "item"
 
 
-class UserAttributeKNNRating(_RatingKNN):
+class UserAttributeKNNRating(_RatingKNN, _UserSimilarityProvider):
     """Reference RatingPrediction/UserAttributeKNN.cs."""
     ENTITY = "user"
     ATTRIBUTES = True
@@ -403,7 +434,7 @@ class UserAttributeKNNRating(_RatingKNN):
         self.attributes = data
 
 
-class ItemAttributeKNNRating(_RatingKNN):
+class ItemAttributeKNNRating(_RatingKNN, _ItemSimilarityProvider):
     """Reference RatingPrediction/ItemAttributeKNN.cs."""
     ENTITY = "item"
     ATTRIBUTES = True

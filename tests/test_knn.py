@@ -193,3 +193,38 @@ class TestRatingKNNModels:
         m2.load_model(path)
         np.testing.assert_allclose(before, m2.predict_batch(users, items),
                                    atol=1e-5)
+
+
+class TestSimilarityProviders:
+    """Reference IUserSimilarityProvider.cs / IItemSimilarityProvider.cs:
+    KNN models expose pairwise similarity + most-similar-entity lists."""
+
+    def test_implicit_user_knn(self):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        m = create_item_recommender("UserKNN")
+        # users 0,1 share items {0,1}; user 2 shares only item 0 with them
+        m.feedback = PosOnlyData([0, 0, 1, 1, 2], [0, 1, 0, 1, 0])
+        m.train()
+        s01 = m.get_user_similarity(0, 1)
+        s02 = m.get_user_similarity(0, 2)
+        assert s01 > s02 > 0
+        assert list(m.get_most_similar_users(0, 2)) == [1, 2]
+
+    def test_implicit_item_knn(self):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        m = create_item_recommender("ItemKNN")
+        m.feedback = PosOnlyData([0, 0, 1, 1, 2], [0, 1, 0, 1, 2])
+        m.train()
+        assert m.get_item_similarity(0, 1) > m.get_item_similarity(0, 2)
+        assert m.get_most_similar_items(0, 1)[0] == 1
+
+    def test_rating_user_knn(self):
+        from mymedialite_tpu.models.registry import create_rating_predictor
+        m = create_rating_predictor("UserKNN")
+        m.ratings = RatingData([0, 0, 1, 1, 1, 2, 2, 2],
+                               [0, 1, 0, 1, 2, 0, 1, 2],
+                               [5.0, 4.0, 5.0, 4.0, 5.0, 1.0, 2.0, 1.0])
+        m.train()
+        # users 0 and 1 agree perfectly -> most similar
+        assert m.get_user_similarity(0, 1) > m.get_user_similarity(0, 2)
+        assert m.get_most_similar_users(0, 1)[0] == 1
