@@ -192,13 +192,30 @@ def main(argv=None):
 
     if args.cross_validation > 1:
         print(str(recommender))
-        results = crossvalidate_items(
-            recommender, training_data, args.cross_validation,
-            test_users=test_users, candidate_items=explicit_candidates,
-            candidate_item_mode=candidate_mode(args),
-            rng=np.random.default_rng(args.random_seed or 0),
-            show_results=args.show_fold_results)
-        print(str(results))
+        if args.find_iter > 0:
+            # iterative CV (reference ItemRecommendation.cs:214,
+            # ItemsCrossValidation.cs:127+)
+            from mymedialite_tpu.eval.crossval import (
+                iterative_crossvalidate_items,
+            )
+            if not isinstance(recommender, IterativeModel):
+                common.abort("Only iterative recommenders support "
+                             "--find-iter=N.")
+            iterative_crossvalidate_items(
+                recommender, training_data, args.cross_validation,
+                args.max_iter, args.find_iter,
+                test_users=test_users, candidate_items=explicit_candidates,
+                candidate_item_mode=candidate_mode(args),
+                rng=np.random.default_rng(args.random_seed or 0),
+                show_fold_results=args.show_fold_results)
+        else:
+            results = crossvalidate_items(
+                recommender, training_data, args.cross_validation,
+                test_users=test_users, candidate_items=explicit_candidates,
+                candidate_item_mode=candidate_mode(args),
+                rng=np.random.default_rng(args.random_seed or 0),
+                show_results=args.show_fold_results)
+            print(str(results))
         timer.report()
         return 0
 

@@ -157,6 +157,13 @@ def main(argv=None):
             n_items = max(training_data.num_items, test_data.num_items)
             training_data = training_data.select(
                 np.arange(len(training_data)), n_users, n_items)
+        # transductive predictors (SVD++ family) see the test users'
+        # rated items as implicit feedback (reference
+        # RatingPrediction.cs:424-425)
+        if hasattr(recommender, "additional_feedback") and \
+                not args.test_no_ratings:
+            recommender.additional_feedback = (test_data.users,
+                                               test_data.items)
     elif args.test_ratio > 0:
         rng = np.random.default_rng(args.random_seed or 0)
         print(f"test ratio {args.test_ratio}", file=sys.stderr)
@@ -174,12 +181,28 @@ def main(argv=None):
 
     if args.cross_validation > 1:
         print(str(recommender))
-        results = crossvalidate_ratings(
-            recommender, training_data, args.cross_validation,
-            compute_fit=args.compute_fit,
-            rng=np.random.default_rng(args.random_seed or 0),
-            show_results=args.show_fold_results)
-        print(str(results))
+        if args.find_iter > 0:
+            # iterative CV: shared iteration counter across folds
+            # (reference RatingPrediction.cs:211-214,
+            # RatingsCrossValidation.cs:92-171)
+            from mymedialite_tpu.eval.crossval import (
+                iterative_crossvalidate_ratings,
+            )
+            if not isinstance(recommender, IterativeModel):
+                common.abort("Only iterative recommenders support "
+                             "--find-iter=N.")
+            iterative_crossvalidate_ratings(
+                recommender, training_data, args.cross_validation,
+                args.max_iter, args.find_iter,
+                rng=np.random.default_rng(args.random_seed or 0),
+                show_fold_results=args.show_fold_results)
+        else:
+            results = crossvalidate_ratings(
+                recommender, training_data, args.cross_validation,
+                compute_fit=args.compute_fit,
+                rng=np.random.default_rng(args.random_seed or 0),
+                show_results=args.show_fold_results)
+            print(str(results))
         timer.report()
         return 0
 

@@ -257,3 +257,60 @@ class TestItemRecommendationCLI:
         ni_t = int(re.search(r"num_items (\d+)", out_t).group(1))
         ni = int(re.search(r"num_items (\d+)", out).group(1))
         assert ni_t != ni
+
+
+class TestIterativeCrossValidation:
+    """Reference RatingsCrossValidation.cs:92-171 / ItemsCrossValidation
+    DoIterativeCrossValidation: --cross-validation + --find-iter."""
+
+    def test_rating(self, capsys):
+        rc = rating_prediction.main([
+            "--training-file", TRAIN, "--recommender", "MatrixFactorization",
+            "--recommender-options", "num_iter=2 batch_size=8",
+            "--cross-validation", "2", "--find-iter", "1",
+            "--max-iter", "4", "--random-seed", "1"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        # one averaged line per iteration from num_iter..max_iter
+        for it in (2, 3, 4):
+            assert f"iteration {it}" in out
+        assert "RMSE" in out
+
+    def test_item(self, implicit_files, capsys):
+        train, _ = implicit_files
+        rc = item_recommendation.main([
+            "--training-file", train, "--recommender", "BPRMF",
+            "--recommender-options", "num_iter=1",
+            "--cross-validation", "2", "--find-iter", "1",
+            "--max-iter", "2", "--random-seed", "1"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "iteration 1" in out and "iteration 2" in out
+        assert "AUC" in out
+
+
+class TestTransductiveWiring:
+    def test_svdpp_receives_test_histories(self, capsys):
+        from mymedialite_tpu.cli import rating_prediction as rp
+        import mymedialite_tpu as mml
+        m = mml.create_rating_predictor("SVDPlusPlus")
+        seen = {}
+        orig_train = type(m).train
+
+        # run the real CLI and verify additional_feedback was set before
+        # training (reference RatingPrediction.cs:424-425)
+        def spy(self):
+            seen["af"] = self.additional_feedback
+            return orig_train(self)
+
+        type(m).train = spy
+        try:
+            rp.main([
+                "--training-file", TRAIN, "--test-file", TEST,
+                "--recommender", "SVDPlusPlus",
+                "--recommender-options", "num_iter=1 num_factors=2"])
+        finally:
+            type(m).train = orig_train
+        capsys.readouterr()
+        assert seen["af"] is not None
+        assert len(seen["af"][0]) == 4  # example.test has 4 ratings
