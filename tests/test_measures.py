@@ -100,3 +100,45 @@ class TestRankMeasuresAgainstListOracle:
                 precision_at_list(shown, correct, N))
             assert got[f"recall@{N}"] == pytest.approx(
                 recall_at_list(shown, correct, N))
+
+
+class TestRankKernelOracle:
+    """The comparison-counting rank kernel must reproduce a stable
+    descending argsort's ranks exactly, ties included."""
+
+    def test_random_with_ties(self):
+        import jax.numpy as jnp
+        from mymedialite_tpu.eval.ranking import _rank_kernel
+
+        rng = np.random.default_rng(7)
+        B, N, P, P2 = 9, 57, 4, 6
+        # quantized scores force plenty of ties
+        scores = rng.integers(0, 9, size=(B, N)).astype(np.float32)
+        cand_mask = rng.random(N) > 0.2
+        ignore = rng.integers(0, N + 3, size=(B, P)).astype(np.int32)
+        correct = np.full((B, P2), N, dtype=np.int32)
+        for b in range(B):
+            cands = np.flatnonzero(cand_mask)
+            pick = rng.choice(cands, size=min(P2 - 1, cands.size),
+                              replace=False)
+            correct[b, :pick.size] = np.sort(pick)
+
+        kern = _rank_kernel(None, N)
+        got = np.asarray(kern(None, jnp.asarray(scores),
+                              jnp.asarray(cand_mask),
+                              jnp.asarray(ignore), jnp.asarray(correct)))
+
+        s = np.where(cand_mask[None, :], scores, -np.inf)
+        for b in range(B):
+            for j in ignore[b]:
+                if j < N:
+                    s[b, j] = -np.inf
+        order = np.argsort(-s, axis=1, kind="stable")
+        ranks = np.empty_like(order)
+        for b in range(B):
+            ranks[b, order[b]] = np.arange(N)
+        for b in range(B):
+            for p in range(P2):
+                c = correct[b, p]
+                expected = N if c >= N else ranks[b, c]
+                assert got[b, p] == expected, (b, p, c)
