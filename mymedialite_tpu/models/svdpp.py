@@ -139,7 +139,10 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
         if self.group_users > 0:
             return min(self.group_users, max(num_users, 1))
         avg = max(1.0, len(self.ratings) / max(num_users, 1))
-        g = int(2 ** np.floor(np.log2(max(65_536.0 / avg, 64.0))))
+        # the aggregate y step per group scales with lr * ratings/group:
+        # shrink the rating budget proportionally for elevated learn rates
+        budget = 65_536.0 * min(1.0, 0.001 / max(self.learn_rate, 1e-9))
+        g = int(2 ** np.floor(np.log2(max(budget / avg, 64.0))))
         return min(g, 16_384, max(num_users, 1))
 
     def _prepare(self):
