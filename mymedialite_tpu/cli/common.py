@@ -37,6 +37,9 @@ def add_common_options(parser: argparse.ArgumentParser):
     add("--load-item-mapping", default=None)
     add("--prediction-file", default=None)
     add("--measures", default=None)
+    # extension beyond the reference's wall-clock Wrap.MeasureTime: write
+    # a jax profiler trace (XLA ops, HBM, fusion view) for the run
+    add("--profile", default=None, metavar="DIR")
     add("--find-iter", type=int, default=0)
     add("--max-iter", type=int, default=500)
     add("--num-iter", type=int, default=None)
@@ -75,6 +78,18 @@ def enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is best-effort
+
+
+def maybe_start_profile(args):
+    """--profile=DIR: write a jax profiler trace for the whole run (view
+    with tensorboard / xprof). The trace stops at process exit."""
+    if getattr(args, "profile", None):
+        import atexit
+
+        import jax
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)
+        print(f"profiling to {args.profile}", file=sys.stderr)
 
 
 def handle_info_flags(args, prog_name: str, measures):

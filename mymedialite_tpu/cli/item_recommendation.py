@@ -101,6 +101,7 @@ def main(argv=None):
     common.handle_info_flags(args, "item_recommendation",
                              ItemRecommendationResults.ALL_MEASURES)
     common.enable_compile_cache()
+    common.maybe_start_profile(args)
     timer = common.PhaseTimer()
 
     name = args.recommender or "MostPopular"

@@ -67,6 +67,7 @@ def main(argv=None):
     common.handle_info_flags(args, "rating_based_ranking",
                              ItemRecommendationResults.ALL_MEASURES)
     common.enable_compile_cache()
+    common.maybe_start_profile(args)
     timer = common.PhaseTimer()
 
     name = args.recommender or "BiasedMatrixFactorization"

@@ -83,6 +83,7 @@ def main(argv=None):
     common.handle_info_flags(args, "rating_prediction",
                              ("RMSE", "MAE", "NMAE", "CBD"))
     common.enable_compile_cache()
+    common.maybe_start_profile(args)
     timer = common.PhaseTimer()
 
     name = args.recommender or "BiasedMatrixFactorization"

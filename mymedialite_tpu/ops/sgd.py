@@ -205,6 +205,15 @@ def sgd_epoch(params, data, key, hp, *, batch_size: int, loss: int,
 #   flat epoch, naive scatter      4.8M updates/s
 #   flat epoch, dedup scatter      6.5M updates/s
 #   blocked epoch (this path)     37.5M updates/s  (~90x reference CPU)
+#   (46.5M at the bench.py shape after catalog-size tuning)
+# Update-application alternatives measured via exp_sgd.py (8M ratings):
+#   A blocked + duplicate scatter (this path)   42.6M updates/s
+#   B gathers+math only, no updates (bound)    140.0M updates/s
+#   C user side as sorted segment_sum + add     41.5M updates/s
+#   D C + item side dedup sorted-unique scatter 26.2M updates/s
+# i.e. XLA's duplicate scatter-add IS the fast path; the remaining 3.3x
+# to the no-scatter bound is the read-modify-write itself, not fixable
+# by dedup/segment restructuring at these shapes.
 # The wins: (1) ratings grouped by contiguous user-id ranges, so the user
 # table is processed through a small VMEM-resident slab (gathers from a
 # 2.6MB slab run ~8x faster than from the 77MB table); (2) biases fused
