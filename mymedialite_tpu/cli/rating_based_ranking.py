@@ -85,21 +85,25 @@ def main(argv=None):
     if not args.training_file and not args.load_model:
         common.abort("Please provide either --training-file=FILE or "
                      "--load-model=FILE.")
-    if args.test_file is None:
-        common.abort("Please provide --test-file=FILE.")
+    if args.test_file is None and args.cross_validation <= 1:
+        common.abort("Please provide either --test-file=FILE or "
+                     "--cross-validation=K.")
 
     user_mapping, item_mapping = common.make_mappings(args)
     common.wire_side_information(args, recommender, user_mapping, item_mapping)
     training_data = load_ratings(args, common.data_path(args,
                                                         args.training_file),
                                  user_mapping, item_mapping)
-    test_data = load_ratings(args, common.data_path(args, args.test_file),
-                             user_mapping, item_mapping)
-    n_users = max(training_data.num_users, test_data.num_users)
-    n_items = max(training_data.num_items, test_data.num_items)
-    training_data = training_data.select(np.arange(len(training_data)),
-                                         n_users, n_items)
-    test_data = test_data.select(np.arange(len(test_data)), n_users, n_items)
+    test_data = None
+    if args.test_file is not None:
+        test_data = load_ratings(args, common.data_path(args, args.test_file),
+                                 user_mapping, item_mapping)
+        n_users = max(training_data.num_users, test_data.num_users)
+        n_items = max(training_data.num_items, test_data.num_items)
+        training_data = training_data.select(np.arange(len(training_data)),
+                                             n_users, n_items)
+        test_data = test_data.select(np.arange(len(test_data)),
+                                     n_users, n_items)
 
     explicit = None
     if args.candidate_items:
@@ -115,6 +119,11 @@ def main(argv=None):
     recommender.ratings = training_data
 
     if args.cross_validation > 1:
+        if args.find_iter > 0:
+            # reference RatingBasedRanking.CheckParameters :64-65
+            common.abort("The combination of --cross-validation=K and "
+                         "--find-iter is not supported for rating-based "
+                         "ranking.")
         from mymedialite_tpu.eval.crossval import (
             crossvalidate_rating_based_ranking,
         )

@@ -314,3 +314,35 @@ class TestTransductiveWiring:
         capsys.readouterr()
         assert seen["af"] is not None
         assert len(seen["af"][0]) == 4  # example.test has 4 ratings
+
+
+class TestRatingBasedRankingCLI:
+    """Reference src/Programs/RatingBasedRanking/RatingBasedRanking.cs."""
+
+    def test_basic(self, capsys):
+        from mymedialite_tpu.cli import rating_based_ranking
+        rc = rating_based_ranking.main([
+            "--training-file", TRAIN, "--test-file", TEST,
+            "--recommender", "UserItemBaseline", "--random-seed", "1"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "AUC" in out and "prec@5" in out
+
+    def test_cross_validation_without_test_file(self, capsys):
+        from mymedialite_tpu.cli import rating_based_ranking
+        rc = rating_based_ranking.main([
+            "--training-file", TRAIN, "--recommender", "UserItemBaseline",
+            "--cross-validation", "2", "--random-seed", "1"])
+        assert rc == 0
+        assert "AUC" in capsys.readouterr().out
+
+    def test_cv_find_iter_rejected(self, capsys):
+        # reference RatingBasedRanking.CheckParameters :64-65
+        from mymedialite_tpu.cli import rating_based_ranking
+        with pytest.raises(SystemExit):
+            rating_based_ranking.main([
+                "--training-file", TRAIN, "--recommender",
+                "MatrixFactorization", "--cross-validation", "2",
+                "--find-iter", "1"])
+        err = capsys.readouterr().err
+        assert "not supported for rating-based ranking" in err
