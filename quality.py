@@ -40,7 +40,7 @@ def main():
     rating_configs = [
         ("GlobalAverage", ""),
         ("UserItemBaseline", ""),
-        ("BiasedMatrixFactorization", "num_factors=40 num_iter=40"),
+        ("BiasedMatrixFactorization", "num_factors=40 num_iter=40 bold_driver=true"),
         ("MatrixFactorization", "num_factors=40 num_iter=40"),
         ("SVDPlusPlus", "num_factors=20 num_iter=25 learn_rate=0.003"),
         ("ItemKNN", "k=40"),
