@@ -367,14 +367,77 @@ class BPRMF(ItemMF, FoldInItemRecommender):
 
 class MultiCoreBPRMF(BPRMF):
     """Reference MultiCoreBPRMF.cs:30 — hogwild-parallel BPR over index
-    blocks. On TPU the standard minibatched epoch already is the parallel
-    path, so this is BPRMF plus the max_threads knob for CLI compat."""
+    blocks. TPU mapping: with more than one jax device, users are
+    range-partitioned across a 1-D mesh; each device samples triples for
+    its own users on-device (conflict-free user updates, stronger than
+    the reference's tolerated races) and item deltas are psum'd per
+    minibatch (ops/bpr.py bpr_epoch_sharded). Single-device, the
+    minibatched epoch already is the parallel path."""
 
     HYPERPARAMS = dict(BPRMF.HYPERPARAMS, max_threads=int)
 
     def __init__(self):
         super().__init__()
         self.max_threads = 1
+        self._mesh = None
+        self._sharded = None
+
+    def _setup_mesh(self):
+        import jax
+        if len(jax.devices()) <= 1:
+            return None
+        from mymedialite_tpu.parallel.mesh import make_mesh
+        self._mesh = make_mesh()
+        self._sharded, self._sharded_meta = \
+            bpr_ops.make_sampler_data_sharded(
+                self.feedback, self._mesh.devices.size, self.num_neg_trials)
+        return self._mesh
+
+    def init_model(self):
+        super().init_model()
+        self._setup_mesh()
+
+    def iterate(self):
+        if self._mesh is None:
+            return super().iterate()
+        import jax
+        from mymedialite_tpu.parallel.mesh import (
+            pad_rows_to_multiple, replicated, row_sharded_2d,
+        )
+        mesh = self._mesh
+        n = mesh.devices.size
+        meta = self._sharded_meta
+        U = self.params["user_factors"].shape[0]
+        W = jax.device_put(
+            pad_rows_to_multiple(np.asarray(self.params["user_factors"]),
+                                 meta["u_loc"] * n), row_sharded_2d(mesh))
+        H = jax.device_put(np.asarray(self.params["item_factors"]),
+                           replicated(mesh))
+        ib = jax.device_put(np.asarray(self.params["item_bias"]),
+                            replicated(mesh))
+        # per-device batches sum to one reference iteration (|events|
+        # triple updates across the mesh)
+        events = max(meta["num_events"], 1)
+        batch = min(self.batch_size, max(events // n, 1))
+        num_batches = max((events + n * batch - 1) // (n * batch), 1)
+        self._key, sub = jax.random.split(self._key)
+        out = bpr_ops.bpr_epoch_sharded(
+            mesh, dict(user_factors=W, item_factors=H, item_bias=ib),
+            self._sharded, sub, self._hp(),
+            self._pop_cdf, batch_size=batch, num_batches=num_batches,
+            regime=self._regime() if self._pop_cdf is None else bpr_ops.WBPR,
+            meta_static=tuple(sorted(meta.items())),
+            update_j=self.update_j, soft_margin=self.SOFT_MARGIN)
+        self.params["user_factors"] = jnp.asarray(
+            np.asarray(out["user_factors"])[:U])
+        self.params["item_factors"] = jnp.asarray(
+            np.asarray(out["item_factors"]))
+        self.params["item_bias"] = jnp.asarray(np.asarray(out["item_bias"]))
+
+    def _retrain(self, users, items):
+        super()._retrain(users, items)
+        if self._mesh is not None:
+            self._setup_mesh()
 
 
 class WeightedBPRMF(BPRMF):

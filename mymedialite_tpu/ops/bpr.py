@@ -228,3 +228,210 @@ def popularity_cdf(feedback) -> jnp.ndarray:
         counts = np.ones_like(counts)
         total = counts.sum()
     return jnp.asarray(np.cumsum(counts / total), dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded BPR epoch — multi-chip data parallelism
+# ---------------------------------------------------------------------------
+#
+# The TPU mapping of the reference's MultiCoreBPRMF (MultiCoreBPRMF.cs:30,
+# Parallel.ForEach over PartitionIndices blocks, hogwild updates): users
+# are partitioned into contiguous ranges, one per device; each device
+# samples triples FOR ITS OWN USERS on-device (per-device fold_in key) so
+# user-factor updates are conflict-free by construction (stronger than
+# the reference's tolerated races); item-factor/bias deltas are merged
+# with a psum after every minibatch (sub-epoch barrier = minibatch SGD
+# over the devices' combined batch).
+
+def make_sampler_data_sharded(feedback, n_devices: int,
+                              num_neg_trials: int = 8):
+    """Per-device sampling state, stacked on a leading device axis.
+
+    Users are split into n_devices contiguous ranges of the padded user
+    space. Ragged per-device arrays (histories, valid-user lists, event
+    lists) are padded to the max; valid/event lists pad by cycling their
+    real entries (near-uniform sampling), with weight-0 fallbacks for
+    devices that own no data.
+    """
+    csr = feedback.by_user
+    counts_g = csr.counts()
+    U, I = feedback.num_users, feedback.num_items
+    U_loc = max(-(-U // n_devices), 1)
+
+    hist_list, indptr_list, counts_list, valid_list = [], [], [], []
+    ev_u_list, ev_i_list = [], []
+    users_g = np.asarray(feedback.users)
+    items_g = np.asarray(feedback.items)
+    order = np.argsort(users_g, kind="stable")
+    users_s, items_s = users_g[order], items_g[order]
+    bounds = np.searchsorted(users_s, np.arange(n_devices + 1) * U_loc)
+    for d in range(n_devices):
+        lo_u, hi_u = d * U_loc, min((d + 1) * U_loc, U)
+        n_u = max(hi_u - lo_u, 0)
+        cnt = np.zeros(U_loc, dtype=np.int32)
+        if n_u > 0:
+            cnt[:n_u] = counts_g[lo_u:hi_u]
+        indptr = np.zeros(U_loc + 1, dtype=np.int32)
+        np.cumsum(cnt, out=indptr[1:])
+        lo_e, hi_e = bounds[d], bounds[d + 1]
+        # histories: the globally sorted-per-user item arrays restricted
+        # to this device's users (csr.keys is already sorted per segment)
+        seg = csr.keys[csr.indptr[lo_u]:csr.indptr[hi_u]] if n_u > 0 \
+            else np.zeros(0, dtype=csr.keys.dtype)
+        hist_list.append(seg.astype(np.int32))
+        indptr_list.append(indptr)
+        counts_list.append(cnt)
+        v = np.nonzero((cnt > 0) & (cnt < I))[0].astype(np.int32)
+        valid_list.append(v)
+        ev_u_list.append((users_s[lo_e:hi_e] - lo_u).astype(np.int32))
+        ev_i_list.append(items_s[lo_e:hi_e].astype(np.int32))
+
+    def stack_padded(arrs, pad_mode):
+        L = max([1] + [a.size for a in arrs])
+        out = np.zeros((n_devices, L), dtype=np.int32)
+        for d, a in enumerate(arrs):
+            if a.size == 0:
+                continue
+            if pad_mode == "cycle":
+                reps = -(-L // a.size)
+                out[d] = np.tile(a, reps)[:L]
+            else:
+                out[d, :a.size] = a
+        return out
+
+    max_count = int(counts_g.max()) if counts_g.size else 1
+    depth = max(int(np.ceil(np.log2(max(max_count, 1) + 1))) + 1, 1)
+    data = dict(
+        hist_items=jnp.asarray(stack_padded(hist_list, "zero")),
+        indptr=jnp.asarray(np.stack(indptr_list)),
+        counts=jnp.asarray(np.stack(counts_list)),
+        valid_users=jnp.asarray(stack_padded(valid_list, "cycle")),
+        valid_count=jnp.asarray(
+            np.array([v.size for v in valid_list], dtype=np.int32)),
+        ev_user=jnp.asarray(stack_padded(ev_u_list, "cycle")),
+        ev_item=jnp.asarray(stack_padded(ev_i_list, "cycle")),
+        ev_count=jnp.asarray(
+            np.array([a.size for a in ev_u_list], dtype=np.int32)),
+    )
+    meta = dict(num_items=I, num_users=U, u_loc=U_loc,
+                e_loc=int(data["ev_user"].shape[1]),
+                num_events=len(feedback), num_neg_trials=num_neg_trials,
+                search_depth=depth)
+    return data, meta
+
+
+def bpr_epoch_sharded(mesh, params, data, key, hp, pop_cdf, *,
+                      batch_size: int, num_batches: int, regime: int,
+                      meta_static, update_j: bool, soft_margin: bool = False):
+    """One sharded epoch. params: user_factors [n*U_loc, f] row-sharded
+    over the 1-D 'data' mesh axis; item_factors [I, f] and item_bias [I]
+    replicated. data from make_sampler_data_sharded, device axis sharded.
+    Each device runs batch_size triples per step for its own users; item
+    deltas are psum'd per step."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    meta = dict(meta_static)
+    trials, depth = meta["num_neg_trials"], meta["search_depth"]
+    num_items = meta["num_items"]
+    lr_name = "learn_rate"
+
+    def device_fn(W, H, ib, hist, indptr, counts, valid, vcount,
+                  ev_u, ev_i, ecount, key, pop_cdf):
+        hist, indptr, counts = hist[0], indptr[0], counts[0]
+        valid, vcount = valid[0], vcount[0]
+        ev_u, ev_i, ecount = ev_u[0], ev_i[0], ecount[0]
+        H = jax.lax.pcast(H, "data", to="varying")
+        ib = jax.lax.pcast(ib, "data", to="varying")
+        d = jax.lax.axis_index("data")
+        kd = jax.random.fold_in(key, d)
+        sampler_loc = dict(hist_items=hist, indptr=indptr)
+
+        if regime == UNIFORM_PAIR_WOR:
+            n_pad = num_batches * batch_size
+            perm = jax.random.permutation(
+                jax.random.fold_in(kd, 0x5eed),
+                jnp.arange(n_pad, dtype=jnp.int32))
+        else:
+            perm = None
+
+        def batch_step(carry, b):
+            W, H, ib = carry
+            bkey = jax.random.fold_in(kd, b)
+            k_u, k_i, k_j = jax.random.split(bkey, 3)
+            if regime == UNIFORM_USER:
+                uidx = jax.random.randint(k_u, (batch_size,), 0,
+                                          valid.shape[0], dtype=jnp.int32)
+                u = valid[uidx]
+                r = jax.random.randint(k_i, (batch_size,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                pos_off = r % jnp.maximum(counts[u], 1)
+                i = hist[jnp.minimum(indptr[u] + pos_off,
+                                     hist.shape[0] - 1)]
+                base_w = ((counts[u] > 0) & (vcount > 0)).astype(jnp.float32)
+            elif regime == UNIFORM_PAIR_WOR:
+                eidx_raw = jax.lax.dynamic_slice(perm, (b * batch_size,),
+                                                 (batch_size,))
+                eidx = eidx_raw % jnp.maximum(ecount, 1)
+                u = ev_u[eidx]
+                i = ev_i[eidx]
+                base_w = ((eidx_raw < ecount) & (ecount > 0)
+                          ).astype(jnp.float32)
+            else:  # UNIFORM_PAIR / WBPR: iid events
+                eidx = jax.random.randint(k_u, (batch_size,), 0,
+                                          ev_u.shape[0], dtype=jnp.int32)
+                u = ev_u[eidx]
+                i = ev_i[eidx]
+                base_w = (ecount > 0).astype(jnp.float32)
+            j, ok = _sample_negatives(
+                k_j, sampler_loc, u, num_items, trials, depth,
+                pop_cdf=pop_cdf if regime == WBPR else None)
+            w = ok.astype(jnp.float32) * base_w
+
+            wu = W[u]
+            hi = H[i]
+            hj = H[j]
+            x_uij = ib[i] - ib[j] + jnp.sum(wu * (hi - hj), axis=-1)
+            if soft_margin:
+                g = jnp.where(x_uij < 1.0, 1.0, 0.0) * w
+            else:
+                g = jax.nn.sigmoid(-x_uij) * w
+            lr = hp[lr_name]
+            W = W.at[u].add(
+                lr * (g[:, None] * (hi - hj)
+                      - (w * hp["reg_u"])[:, None] * wu))
+            H_start, ib_start = H, ib
+            H = H.at[i].add(
+                lr * (g[:, None] * wu - (w * hp["reg_i"])[:, None] * hi))
+            ib = ib.at[i].add(lr * (g - hp["bias_reg"] * w * ib[i]))
+            if update_j:
+                H = H.at[j].add(
+                    lr * (-g[:, None] * wu - (w * hp["reg_j"])[:, None] * hj))
+                ib = ib.at[j].add(lr * (-g - hp["bias_reg"] * w * ib[j]))
+            # merge the devices' item updates (sub-epoch barrier)
+            H = H_start + jax.lax.psum(H - H_start, "data")
+            ib = ib_start + jax.lax.psum(ib - ib_start, "data")
+            return (W, H, ib), None
+
+        (W, H, ib), _ = jax.lax.scan(
+            batch_step, (W, H, ib), jnp.arange(num_batches, dtype=jnp.int32))
+        return W, H, ib
+
+    # H/ib end replicated by construction (every device ends on
+    # start + psum(deltas)); the varying-axis checker can't prove it.
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P("data", None), P(), P(),
+                  P("data", None), P("data", None), P("data", None),
+                  P("data", None), P("data"), P("data", None),
+                  P("data", None), P("data"), P(), P()),
+        out_specs=(P("data", None), P(), P()),
+        check_vma=False)
+    W, H, ib = jax.jit(fn)(
+        params["user_factors"], params["item_factors"], params["item_bias"],
+        data["hist_items"], data["indptr"], data["counts"],
+        data["valid_users"], data["valid_count"],
+        data["ev_user"], data["ev_item"], data["ev_count"],
+        key, pop_cdf if pop_cdf is not None else jnp.zeros(1))
+    return dict(user_factors=W, item_factors=H, item_bias=ib)
