@@ -320,27 +320,26 @@ def make_sampler_data_sharded(feedback, n_devices: int,
     return data, meta
 
 
-def bpr_epoch_sharded(mesh, params, data, key, hp, pop_cdf, *,
-                      batch_size: int, num_batches: int, regime: int,
-                      meta_static, update_j: bool, soft_margin: bool = False):
-    """One sharded epoch. params: user_factors [n*U_loc, f] row-sharded
-    over the 1-D 'data' mesh axis; item_factors [I, f] and item_bias [I]
-    replicated. data from make_sampler_data_sharded, device axis sharded.
-    Each device runs batch_size triples per step for its own users; item
-    deltas are psum'd per step."""
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_epoch_fn(mesh, batch_size: int, num_batches: int, regime: int,
+                      meta_static, update_j: bool, soft_margin: bool):
+    """Build + jit the sharded epoch once per (mesh, config); cached so
+    repeated iterate() calls reuse the compiled executable."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     meta = dict(meta_static)
     trials, depth = meta["num_neg_trials"], meta["search_depth"]
     num_items = meta["num_items"]
-    lr_name = "learn_rate"
 
     def device_fn(W, H, ib, hist, indptr, counts, valid, vcount,
-                  ev_u, ev_i, ecount, key, pop_cdf):
+                  ev_u, ev_i, ecount, key, pop_cdf, hps):
         hist, indptr, counts = hist[0], indptr[0], counts[0]
         valid, vcount = valid[0], vcount[0]
         ev_u, ev_i, ecount = ev_u[0], ev_i[0], ecount[0]
+        lr, reg_u, reg_i, reg_j, bias_reg = hps
         H = jax.lax.pcast(H, "data", to="varying")
         ib = jax.lax.pcast(ib, "data", to="varying")
         d = jax.lax.axis_index("data")
@@ -397,18 +396,17 @@ def bpr_epoch_sharded(mesh, params, data, key, hp, pop_cdf, *,
                 g = jnp.where(x_uij < 1.0, 1.0, 0.0) * w
             else:
                 g = jax.nn.sigmoid(-x_uij) * w
-            lr = hp[lr_name]
             W = W.at[u].add(
                 lr * (g[:, None] * (hi - hj)
-                      - (w * hp["reg_u"])[:, None] * wu))
+                      - (w * reg_u)[:, None] * wu))
             H_start, ib_start = H, ib
             H = H.at[i].add(
-                lr * (g[:, None] * wu - (w * hp["reg_i"])[:, None] * hi))
-            ib = ib.at[i].add(lr * (g - hp["bias_reg"] * w * ib[i]))
+                lr * (g[:, None] * wu - (w * reg_i)[:, None] * hi))
+            ib = ib.at[i].add(lr * (g - bias_reg * w * ib[i]))
             if update_j:
                 H = H.at[j].add(
-                    lr * (-g[:, None] * wu - (w * hp["reg_j"])[:, None] * hj))
-                ib = ib.at[j].add(lr * (-g - hp["bias_reg"] * w * ib[j]))
+                    lr * (-g[:, None] * wu - (w * reg_j)[:, None] * hj))
+                ib = ib.at[j].add(lr * (-g - bias_reg * w * ib[j]))
             # merge the devices' item updates (sub-epoch barrier)
             H = H_start + jax.lax.psum(H - H_start, "data")
             ib = ib_start + jax.lax.psum(ib - ib_start, "data")
@@ -425,13 +423,30 @@ def bpr_epoch_sharded(mesh, params, data, key, hp, pop_cdf, *,
         in_specs=(P("data", None), P(), P(),
                   P("data", None), P("data", None), P("data", None),
                   P("data", None), P("data"), P("data", None),
-                  P("data", None), P("data"), P(), P()),
+                  P("data", None), P("data"), P(), P(), P()),
         out_specs=(P("data", None), P(), P()),
         check_vma=False)
-    W, H, ib = jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def bpr_epoch_sharded(mesh, params, data, key, hp, pop_cdf, *,
+                      batch_size: int, num_batches: int, regime: int,
+                      meta_static, update_j: bool, soft_margin: bool = False):
+    """One sharded epoch (reference MultiCoreBPRMF.cs:30 mapping).
+
+    params: user_factors [n*U_loc, f] row-sharded over the 1-D 'data'
+    mesh axis; item_factors [I, f] and item_bias [I] replicated. data
+    from make_sampler_data_sharded, device axis sharded. Each device
+    samples batch_size triples per step for its own users; item deltas
+    are psum'd per step (sub-epoch minibatch barrier)."""
+    fn = _sharded_epoch_fn(mesh, batch_size, num_batches, regime,
+                           meta_static, update_j, soft_margin)
+    hps = (hp["learn_rate"], hp["reg_u"], hp["reg_i"], hp["reg_j"],
+           hp["bias_reg"])
+    W, H, ib = fn(
         params["user_factors"], params["item_factors"], params["item_bias"],
         data["hist_items"], data["indptr"], data["counts"],
         data["valid_users"], data["valid_count"],
         data["ev_user"], data["ev_item"], data["ev_count"],
-        key, pop_cdf if pop_cdf is not None else jnp.zeros(1))
+        key, pop_cdf if pop_cdf is not None else jnp.zeros(1), hps)
     return dict(user_factors=W, item_factors=H, item_bias=ib)
