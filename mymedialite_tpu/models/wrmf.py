@@ -37,16 +37,51 @@ class WRMF(ItemMF):
 
     def init_model(self):
         super().init_model()
+        self._mesh = self._make_mesh()
         self._build_histories()
 
+    def _make_mesh(self):
+        """Row solves are embarrassingly parallel (reference Parallel.For,
+        WRMF.cs:87-91): shard them over the mesh when devices > 1."""
+        import jax
+        if len(jax.devices()) <= 1:
+            return None
+        from mymedialite_tpu.parallel.mesh import make_mesh
+        return make_mesh()
+
     def _build_histories(self):
+        import jax
+        from mymedialite_tpu.parallel.mesh import replicated, row_sharded, \
+            row_sharded_2d
+
         f = self.feedback
+        mult = self.solve_chunk * (self._mesh.devices.size
+                                   if self._mesh is not None else 1)
         uh, ul = padded_history(f.by_user)
         ih, il = padded_history(f.by_item)
-        uh, ul, _ = pad_rows(uh, ul, self.solve_chunk)
-        ih, il, _ = pad_rows(ih, il, self.solve_chunk)
-        self._user_hist = (jnp.asarray(uh), jnp.asarray(ul))
-        self._item_hist = (jnp.asarray(ih), jnp.asarray(il))
+        uh, ul, _ = pad_rows(uh, ul, mult)
+        ih, il, _ = pad_rows(ih, il, mult)
+        if self._mesh is not None:
+            sh2, sh1 = row_sharded_2d(self._mesh), row_sharded(self._mesh)
+            self._user_hist = (jax.device_put(uh, sh2),
+                               jax.device_put(ul, sh1))
+            self._item_hist = (jax.device_put(ih, sh2),
+                               jax.device_put(il, sh1))
+        else:
+            self._user_hist = (jnp.asarray(uh), jnp.asarray(ul))
+            self._item_hist = (jnp.asarray(ih), jnp.asarray(il))
+
+    def _optimize(self, H, hist, lens, alpha, reg):
+        if self._mesh is None:
+            return wrmf_optimize(H, hist, lens, alpha, reg,
+                                 chunk=self.solve_chunk)
+        import jax
+        from mymedialite_tpu.ops.als import wrmf_optimize_sharded
+        from mymedialite_tpu.parallel.mesh import replicated
+        H_rep = jax.device_put(np.asarray(H), replicated(self._mesh))
+        W = wrmf_optimize_sharded(self._mesh, H_rep, hist, lens, alpha,
+                                  reg, chunk=self.solve_chunk)
+        return jnp.asarray(np.asarray(W))
 
     def iterate(self):
         """One alternation (reference WRMF.Iterate :68-73)."""
@@ -54,12 +89,10 @@ class WRMF(ItemMF):
         alpha = jnp.float32(self.alpha)
         reg = jnp.float32(self.regularization)
         uh, ul = self._user_hist
-        W = wrmf_optimize(p["item_factors"], uh, ul, alpha, reg,
-                          chunk=self.solve_chunk)
+        W = self._optimize(p["item_factors"], uh, ul, alpha, reg)
         p["user_factors"] = W[:p["user_factors"].shape[0]]
         ih, il = self._item_hist
-        H = wrmf_optimize(p["user_factors"], ih, il, alpha, reg,
-                          chunk=self.solve_chunk)
+        H = self._optimize(p["user_factors"], ih, il, alpha, reg)
         p["item_factors"] = H[:p["item_factors"].shape[0]]
 
     def _retrain(self, users, items):

@@ -23,16 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def wrmf_optimize(H, hist, lens, alpha, reg, *, chunk: int):
-    """Solve all rows of W given the other side's factors H.
-
-    H: [I, f] factors of the fixed side.
-    hist: [U_pad, Lmax] int32 padded per-row histories (pad value
-          arbitrary in-range; masked by lens). U_pad % chunk == 0.
-    lens: [U_pad] int32 true history lengths.
-    Returns W: [U_pad, f].
-    """
+def _optimize_impl(H, hist, lens, alpha, reg, chunk: int):
     U, L = hist.shape
     f = H.shape[1]
     HH = H.T @ H  # [f, f] Gram over ALL items (reference WRMF.cs:94-108)
@@ -53,6 +44,44 @@ def wrmf_optimize(H, hist, lens, alpha, reg, *, chunk: int):
     W = jax.lax.map(solve_chunk,
                     (hist.reshape(-1, chunk, L), lens.reshape(-1, chunk)))
     return W.reshape(U, f)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wrmf_optimize(H, hist, lens, alpha, reg, *, chunk: int):
+    """Solve all rows of W given the other side's factors H.
+
+    H: [I, f] factors of the fixed side.
+    hist: [U_pad, Lmax] int32 padded per-row histories (pad value
+          arbitrary in-range; masked by lens). U_pad % chunk == 0.
+    lens: [U_pad] int32 true history lengths.
+    Returns W: [U_pad, f].
+    """
+    return _optimize_impl(H, hist, lens, alpha, reg, chunk)
+
+
+@functools.lru_cache(maxsize=8)
+def _wrmf_sharded_fn(mesh, chunk: int):
+    """Mesh-sharded row solves: the reference's embarrassingly parallel
+    Parallel.For over users (WRMF.cs:87-91) mapped onto the device mesh
+    (SURVEY §2.9 P3). Rows (histories) shard over 'data'; the fixed-side
+    factor table is replicated; each device batch-solves its rows."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(H, hist, lens, alpha, reg):
+        return _optimize_impl(H, hist, lens, alpha, reg, chunk)
+
+    fn = shard_map(device_fn, mesh=mesh,
+                   in_specs=(P(), P("data", None), P("data"), P(), P()),
+                   out_specs=P("data", None))
+    return jax.jit(fn)
+
+
+def wrmf_optimize_sharded(mesh, H, hist, lens, alpha, reg, *, chunk: int):
+    """Sharded wrmf_optimize. hist/lens must be row-sharded over the
+    mesh's 'data' axis with rows % (devices * chunk) == 0; H replicated.
+    Returns W row-sharded like hist."""
+    return _wrmf_sharded_fn(mesh, chunk)(H, hist, lens, alpha, reg)
 
 
 def pad_rows(hist: np.ndarray, lens: np.ndarray, chunk: int):

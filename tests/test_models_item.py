@@ -247,3 +247,37 @@ class TestShardedBPR:
         assert m._mesh is not None and m._mesh.devices.size >= 8
         res = evaluate_items(m, test, train)
         assert res["AUC"] > 0.6, res  # learned the parity structure
+
+
+class TestShardedALS:
+    def test_sharded_matches_single_device(self):
+        """WRMF's mesh-sharded row solves (ops/als.py wrmf_optimize_sharded,
+        reference Parallel.For WRMF.cs:87-91) must be bit-identical to the
+        single-device batched solve."""
+        import jax
+        import jax.numpy as jnp
+        from mymedialite_tpu.ops.als import (
+            pad_rows, wrmf_optimize, wrmf_optimize_sharded,
+        )
+        from mymedialite_tpu.parallel.mesh import (
+            make_mesh, replicated, row_sharded, row_sharded_2d,
+        )
+
+        rng = np.random.default_rng(0)
+        I, f, U, L, chunk = 40, 6, 100, 12, 8
+        H = rng.normal(size=(I, f)).astype(np.float32)
+        hist = rng.integers(0, I, (U, L)).astype(np.int32)
+        lens = rng.integers(0, L + 1, U).astype(np.int32)
+        n = len(jax.devices())
+        hist8, lens8, _ = pad_rows(hist, lens, chunk * n)
+        single = wrmf_optimize(jnp.asarray(H), jnp.asarray(hist8),
+                               jnp.asarray(lens8), jnp.float32(1.0),
+                               jnp.float32(0.015), chunk=chunk)
+        mesh = make_mesh()
+        sharded = wrmf_optimize_sharded(
+            mesh, jax.device_put(H, replicated(mesh)),
+            jax.device_put(hist8, row_sharded_2d(mesh)),
+            jax.device_put(lens8, row_sharded(mesh)),
+            jnp.float32(1.0), jnp.float32(0.015), chunk=chunk)
+        np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                                   atol=1e-6)
