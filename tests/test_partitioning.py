@@ -1,0 +1,95 @@
+"""Partitioner invariants (counterpart of reference
+Tests/MulticoreTest.cs:17-70 — every index in exactly one block, block
+grids well-formed) for the three data-layout preparers."""
+
+import numpy as np
+
+from mymedialite_tpu.data import PosOnlyData, RatingData
+
+
+def _ratings(n=500, U=37, I=23, seed=0):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    v = rng.uniform(1, 5, n).astype(np.float32)
+    return u, i, v, U, I
+
+
+class TestBlockedSGDPartitioning:
+    def test_every_rating_in_exactly_one_slot(self):
+        from mymedialite_tpu.ops.sgd import prepare_blocked_data
+        u, i, v, U, I = _ratings()
+        data, meta = prepare_blocked_data(u, i, v, U, batch_size=32,
+                                          group_users=8, shuffle_seed=3)
+        gu = np.asarray(data["gu"])
+        gi = np.asarray(data["gi"])
+        gv = np.asarray(data["gv"])
+        gw = np.asarray(data["gw"])
+        G = meta["group_users"]
+        assert gw.sum() == len(u)  # padding has weight 0
+        # reconstruct global (user, item, value) multiset from real slots
+        got = []
+        for g in range(meta["ngroups"]):
+            real = gw[g] > 0
+            assert (gu[g][real] >= 0).all() and (gu[g][real] < G).all()
+            got += list(zip(gu[g][real] + g * G, gi[g][real], gv[g][real]))
+        assert sorted(got) == sorted(zip(u.tolist(), i.tolist(), v.tolist()))
+
+    def test_group_locality(self):
+        # each group slot only holds ratings of its own user range
+        from mymedialite_tpu.ops.sgd import prepare_blocked_data
+        u, i, v, U, I = _ratings(seed=1)
+        data, meta = prepare_blocked_data(u, i, v, U, batch_size=16,
+                                          group_users=16, shuffle_seed=0)
+        gw = np.asarray(data["gw"])
+        gu = np.asarray(data["gu"])
+        for g in range(meta["ngroups"]):
+            real = gw[g] > 0
+            assert (gu[g][real] < meta["group_users"]).all()
+
+
+class TestSVDPPGrouping:
+    def test_masks_and_history_edges(self):
+        from mymedialite_tpu.ops.svdpp import prepare_groups
+        u, i, v, U, I = _ratings(seed=2)
+        ratings = RatingData(u, i, v, num_users=U, num_items=I)
+        data, meta = prepare_groups(ratings, u, i, U, I, group_users=8)
+        assert float(np.asarray(data["r_mask"]).sum()) == len(u)
+        assert float(np.asarray(data["e_mask"]).sum()) == len(u)
+        # inv_sqrt_hist matches per-user edge counts
+        counts = np.bincount(u, minlength=U)
+        inv = np.asarray(data["inv_sqrt_hist"])[:U]
+        expect = np.where(counts > 0, 1 / np.sqrt(np.maximum(counts, 1)), 0)
+        np.testing.assert_allclose(inv, expect, atol=1e-6)
+
+
+class TestShardedBPRSampler:
+    def test_device_partitions_cover_all_users(self):
+        from mymedialite_tpu.ops.bpr import (
+            make_sampler_data, make_sampler_data_sharded,
+        )
+        u, i, _, U, I = _ratings(seed=4)
+        fb = PosOnlyData(u, i, num_users=U, num_items=I)
+        n = 8
+        data, meta = make_sampler_data_sharded(fb, n)
+        g_sampler, g_meta = make_sampler_data(fb)
+        U_loc = meta["u_loc"]
+        counts = np.asarray(data["counts"])
+        g_counts = np.asarray(g_sampler["counts"])
+        # per-device counts tile the global per-user counts
+        flat = counts.reshape(-1)[:U]
+        np.testing.assert_array_equal(flat, g_counts[:U])
+        # per-device histories equal the global CSR segments
+        hist = np.asarray(data["hist_items"])
+        indptr = np.asarray(data["indptr"])
+        csr = fb.by_user
+        for d in range(n):
+            lo, hi = d * U_loc, min((d + 1) * U_loc, U)
+            for uu in range(lo, hi):
+                local = hist[d][indptr[d][uu - lo]:indptr[d][uu - lo + 1]]
+                np.testing.assert_array_equal(csr.secondary(uu), local)
+        # valid counts: users with 0 < count < num_items
+        vcount = np.asarray(data["valid_count"])
+        total_valid = int(((g_counts > 0) & (g_counts < I))[:U].sum())
+        assert vcount.sum() == total_valid
+        assert meta["search_depth"] == g_meta["search_depth"]
