@@ -190,6 +190,7 @@ def evaluate_items(recommender, test, training,
     sums = {m: 0.0 for m in ItemRecommendationResults.ALL_MEASURES}
     num_evaluated = 0
 
+    import jax
     import jax.numpy as jnp
     cand_mask_dev = jnp.asarray(cand_mask)
 
@@ -199,6 +200,31 @@ def evaluate_items(recommender, test, training,
     else:
         score_fn, score_params = None, None
     rank_kernel = _rank_kernel(score_fn, num_items)
+
+    # multi-chip: data-parallel over test users (SURVEY §2.9 P4, the TPU
+    # mapping of the reference's Parallel.ForEach, Eval/Items.cs:147) —
+    # shard the user batch + index matrices over the mesh and let XLA's
+    # SPMD partitioner split the fused score+rank kernel; params and the
+    # candidate mask replicate.
+    mesh = None
+    if score_fn is not None and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mymedialite_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        batch_size = max(-(-batch_size // n_dev), 1) * n_dev
+        _row = NamedSharding(mesh, P("data"))
+        _row2 = NamedSharding(mesh, P("data", None))
+        _rep = NamedSharding(mesh, P())
+        cand_mask_dev = jax.device_put(np.asarray(cand_mask), _rep)
+        score_params = jax.device_put(score_params, _rep)
+
+    def _put(arr):
+        """Device placement for a batch-dim array (sharded under a mesh)."""
+        if mesh is None:
+            return jnp.asarray(arr)
+        a = np.asarray(arr)
+        return jax.device_put(a, _row if a.ndim == 1 else _row2)
 
     # per-user host-side prep (sets/counts only; no big arrays)
     def user_prep(u):
@@ -223,14 +249,20 @@ def evaluate_items(recommender, test, training,
     for start in range(0, test_users.size, batch_size):
         batch = test_users[start:start + batch_size]
         nreal = batch.size
-        if nreal < batch_size and test_users.size > batch_size:
-            # fixed batch shape: pad the ragged tail with the last user
+        if test_users.size > batch_size:
+            target = batch_size  # fixed batch shape across the loop
+        elif mesh is not None:
+            target = max(-(-nreal // n_dev) * n_dev, n_dev)
+        else:
+            target = nreal
+        if nreal < target:
+            # pad the ragged tail with the last user
             batch = np.concatenate(
-                [batch, np.full(batch_size - nreal, batch[-1],
+                [batch, np.full(target - nreal, batch[-1],
                                 dtype=batch.dtype)])
         if score_fn is not None:
             # scoring fuses into the rank kernel (one jitted call)
-            scores_in = jnp.asarray(batch, dtype=jnp.int32)
+            scores_in = _put(batch.astype(np.int32))
         else:
             # host-scoring models: one transfer per batch
             scores_in = jnp.asarray(
@@ -252,7 +284,7 @@ def evaluate_items(recommender, test, training,
 
         correct_ranks = np.asarray(rank_kernel(
             score_params, scores_in, cand_mask_dev,
-            jnp.asarray(ignore_rows), jnp.asarray(correct_rows)))
+            _put(ignore_rows), _put(correct_rows)))
 
         for row, (correct, train_items_u, n_cand) in enumerate(preps):
             m = int(correct.size)
