@@ -1,0 +1,396 @@
+"""MXU-blocked SGD epoch: scatter/gather as one-hot systolic matmuls.
+
+TPU-native replacement for the same reference inner loop as
+``ops/sgd.py`` (``BiasedMatrixFactorization.cs:264-309``,
+``MatrixFactorization.cs:166-196``, DSGD blocks ``MultiCore.cs:43-73``),
+attacking the measured bottleneck of the XLA path: the duplicate
+scatter-add read-modify-write (42.6M updates/s; gather+math bound 140M —
+see ops/sgd.py perf notes).
+
+Idea: double-block the rating stream Gemulla-style into
+(user-block x item-block) buckets, pad each bucket to fixed-size chunks,
+and process one chunk per grid step inside a single Pallas kernel where
+
+- the item table lives wholly in VMEM for the epoch (manual DMA in/out),
+- the current user block streams through VMEM via a BlockSpec whose
+  index map reads a scalar-prefetched per-chunk ublock id,
+- gathers become ``one_hot @ table_block`` and scatter-adds become
+  ``one_hot.T @ delta`` — MXU matmuls over on-the-fly iota==id one-hots,
+  so the read-modify-write serialization disappears entirely.
+
+Semantics: each chunk is one minibatch SGD step (duplicates within a
+chunk sum, like the XLA path's batches — but chunks are ~512 ratings,
+far finer-grained than the 131k XLA batches, so trajectories are closer
+to the reference's sequential SGD, not further). Item ids are internally
+permuted popularity-round-robin so every item block carries similar
+rating mass (balanced bucket padding); the permutation is undone when
+extracting the tables.
+
+Precision: tables are f32; one-hot operands are exact in bf16; with
+``mxu_dtype='bf16'`` the gathered factor rows and the scattered deltas
+round through bf16 (MXU-native rate), with f32 accumulation. SGD is
+noise-tolerant; quality is validated against the f32 path and the XLA
+path in tests/quality runs. ``mxu_dtype='f32'`` keeps full precision at
+lower MXU rate.
+
+Capacity: needs the (padded) item table in VMEM: I_pad * fe * 4 bytes
+<= ~10MB (e.g. 40k items at fe=64). Larger catalogs use ops/sgd.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mymedialite_tpu.ops.sgd import _gradient_common
+
+VMEM_ITEM_TABLE_BYTES = 10 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MxuPlan:
+    """Host-side layout of one training set for the MXU epoch kernel."""
+    # static geometry (meta tuple for jit)
+    num_chunks: int
+    chunk: int
+    user_block: int
+    item_block: int
+    n_ublocks: int
+    n_iblocks: int
+    num_users: int
+    num_items: int
+    n_ratings: int
+    # device data: [nc, 4, C] int32 — rows (u_loc, i_loc, v_bits, w_bits)
+    packed: jnp.ndarray = field(repr=False)
+    # base chunk metas, layout order (host)
+    ub_c: np.ndarray = field(repr=False)
+    ib_c: np.ndarray = field(repr=False)
+    # item id permutation (host): new_of_old [num_items], old_of_new [I_pad]
+    new_of_old: np.ndarray = field(repr=False)
+    old_of_new: np.ndarray = field(repr=False)
+
+    @property
+    def u_pad(self) -> int:
+        return self.n_ublocks * self.user_block
+
+    @property
+    def i_pad(self) -> int:
+        return self.n_iblocks * self.item_block
+
+    def meta(self, fe: int) -> tuple:
+        return (self.num_chunks, self.chunk, self.user_block,
+                self.item_block, self.n_ublocks, self.i_pad, fe)
+
+    def epoch_order(self, seed) -> tuple:
+        """Per-epoch chunk visit order: chunks stay grouped by ublock
+        (contiguous user-block residency), randomized within each group.
+        Returns (ub, ib, row) device int32 arrays of length num_chunks."""
+        nc = self.num_chunks
+        if seed is None:
+            perm = np.arange(nc)
+        else:
+            rng = np.random.default_rng(seed)
+            # random key per chunk, stably grouped by ublock
+            perm = np.argsort(self.ub_c.astype(np.float64) * 2.0
+                              + rng.random(nc), kind="stable")
+        return (jnp.asarray(self.ub_c[perm]), jnp.asarray(self.ib_c[perm]),
+                jnp.asarray(perm.astype(np.int32)))
+
+
+def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
+                     user_block: int = 512, item_block: int = 1024,
+                     chunk: int = 256, shuffle_seed=0) -> MxuPlan:
+    """Bucket the rating stream by (user_block x item_block) blocks with
+    popularity-balanced item blocks; pad each bucket to chunk multiples."""
+    n = len(users)
+    users = np.asarray(users, dtype=np.int32)
+    items = np.asarray(items, dtype=np.int32)
+    values = np.asarray(values, dtype=np.float32)
+    if shuffle_seed is not None and n > 1:
+        perm = np.random.default_rng(shuffle_seed).permutation(n)
+        users, items, values = users[perm], items[perm], values[perm]
+
+    UB = min(user_block, _round_up(max(num_users, 1), 8))
+    IB = min(item_block, _round_up(max(num_items, 1), 8))
+    n_ub = max((num_users + UB - 1) // UB, 1)
+    n_ib = max((num_items + IB - 1) // IB, 1)
+
+    # popularity round-robin item permutation: j-th most rated item goes
+    # to block j % n_ib -> every block gets ~equal rating mass
+    counts = np.bincount(items, minlength=num_items) if n else \
+        np.zeros(num_items, np.int64)
+    rank = np.argsort(-counts, kind="stable")
+    j = np.arange(num_items)
+    new_of_old = np.empty(num_items, np.int32)
+    new_of_old[rank] = ((j % n_ib) * IB + j // n_ib).astype(np.int32)
+    old_of_new = np.full(n_ib * IB, -1, np.int32)
+    old_of_new[new_of_old] = np.arange(num_items, dtype=np.int32)
+
+    i_new = new_of_old[items]
+    bucket = (users // UB).astype(np.int64) * n_ib + i_new // IB
+    order = np.argsort(bucket, kind="stable")
+    users, i_new, values = users[order], i_new[order], values[order]
+    bucket = bucket[order]
+
+    nbkt = n_ub * n_ib
+    bcount = np.bincount(bucket, minlength=nbkt) if n else \
+        np.zeros(nbkt, np.int64)
+    pcount = ((bcount + chunk - 1) // chunk) * chunk  # 0 stays 0
+    poff = np.concatenate([[0], np.cumsum(pcount)])
+    total = int(poff[-1])
+    nc = max(total // chunk, 1)
+    total = nc * chunk
+
+    u_loc = np.zeros(total, np.int32)
+    i_loc = np.zeros(total, np.int32)
+    v = np.zeros(total, np.float32)
+    w = np.zeros(total, np.float32)
+    if n:
+        boff = np.concatenate([[0], np.cumsum(bcount)])
+        within = np.arange(n) - boff[bucket]
+        out_idx = poff[bucket] + within
+        u_loc[out_idx] = users % UB
+        i_loc[out_idx] = i_new % IB
+        v[out_idx] = values
+        w[out_idx] = 1.0
+
+    # per-chunk (ublock, iblock) metas in layout order
+    chunks_per_bucket = (pcount // chunk).astype(np.int64)
+    bkt_of_chunk = np.repeat(np.arange(nbkt), chunks_per_bucket)
+    if bkt_of_chunk.size == 0:
+        bkt_of_chunk = np.zeros(1, np.int64)
+    ub_c = (bkt_of_chunk // n_ib).astype(np.int32)
+    ib_c = (bkt_of_chunk % n_ib).astype(np.int32)
+
+    return MxuPlan(
+        num_chunks=nc, chunk=chunk, user_block=UB, item_block=IB,
+        n_ublocks=n_ub, n_iblocks=n_ib, num_users=num_users,
+        num_items=num_items, n_ratings=n,
+        packed=jnp.asarray(np.stack([
+            u_loc.reshape(nc, chunk), i_loc.reshape(nc, chunk),
+            v.reshape(nc, chunk).view(np.int32),
+            w.reshape(nc, chunk).view(np.int32)], axis=1)),
+        ub_c=ub_c, ib_c=ib_c,
+        new_of_old=new_of_old, old_of_new=old_of_new)
+
+
+def extend_tables_mxu(plan: MxuPlan, user_factors, item_factors,
+                      user_bias=None, item_bias=None, fe_pad: int = 64):
+    """Fused [factors | bias | one] tables in the kernel's layout:
+    users padded to n_ublocks*UB rows; items permuted (popularity
+    round-robin) and padded to n_iblocks*IB rows; columns padded to
+    ``fe_pad`` (zero columns with zero learn rate stay zero)."""
+    W = np.asarray(user_factors, dtype=np.float32)
+    H = np.asarray(item_factors, dtype=np.float32)
+    U, f = W.shape
+    fe = max(fe_pad, _round_up(f + 2, 8))
+    bu = np.zeros(U, np.float32) if user_bias is None else \
+        np.asarray(user_bias, np.float32)
+    bi = np.zeros(H.shape[0], np.float32) if item_bias is None else \
+        np.asarray(item_bias, np.float32)
+    We = np.zeros((plan.u_pad, fe), np.float32)
+    We[:U, :f] = W
+    We[:U, f] = bu
+    We[:U, f + 1] = 1.0
+    He = np.zeros((plan.i_pad, fe), np.float32)
+    He[plan.new_of_old, :f] = H
+    He[plan.new_of_old, f] = 1.0
+    He[plan.new_of_old, f + 1] = bi
+    return jnp.asarray(We), jnp.asarray(He)
+
+
+def split_tables_mxu(plan: MxuPlan, W_ext, H_ext, num_factors: int):
+    """Inverse of extend_tables_mxu (unpermutes the item rows)."""
+    We = np.asarray(W_ext)[:plan.num_users]
+    He = np.asarray(H_ext)[plan.new_of_old]
+    f = num_factors
+    return We[:, :f], He[:, :f], We[:, f], He[:, f + 1]
+
+
+def mxu_column_rates(num_factors: int, fe: int, learn_rate, reg_u, reg_i,
+                     bias_learn_rate, bias_reg, biased: bool,
+                     update_user: bool, update_item: bool):
+    """[fe, 4] column-stacked (w_lr, w_reg, h_lr, h_reg) vectors,
+    scaled by the current learn rate (see ops/sgd.py column_rates)."""
+    f = num_factors
+    lr, blr = float(learn_rate), float(bias_learn_rate)
+    out = np.zeros((fe, 4), np.float32)
+    out[:f, 0] = lr
+    out[f, 0] = blr * lr if biased else 0.0
+    out[:f, 1] = float(reg_u)
+    out[f, 1] = float(bias_reg) * float(reg_u) if biased else 0.0
+    out[:f, 2] = lr
+    out[f + 1, 2] = blr * lr if biased else 0.0
+    out[:f, 3] = float(reg_i)
+    out[f + 1, 3] = float(bias_reg) * float(reg_i) if biased else 0.0
+    if not update_user:
+        out[:, 0] = 0.0
+    if not update_item:
+        out[:, 2] = 0.0
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _mxu_sgd_kernel(ub_ref, ib_ref, row_ref,      # scalar prefetch (SMEM)
+                    w_in_ref, h_in_ref, data_ref,
+                    rates_ref, hp_ref,
+                    w_out_ref, h_out_ref,
+                    h_vmem, sem_in, sem_out, *,
+                    loss: int, biased: bool, C: int, UB: int, IB: int,
+                    mxu_dtype):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _():
+        cp = pltpu.make_async_copy(h_in_ref, h_vmem, sem_in)
+        cp.start()
+        cp.wait()
+
+    # first visit of this user block (blocks are contiguous in chunk
+    # order and never revisited): seed the output buffer
+    cur = ub_ref[c]
+    prev = ub_ref[jnp.maximum(c - 1, 0)]
+
+    @pl.when((c == 0) | (cur != prev))
+    def _():
+        w_out_ref[:] = w_in_ref[:]
+
+    ib = ib_ref[c]
+    d = data_ref[0]                      # [4, C] int32 (one DMA per chunk)
+    u = d[0:1]                           # [1, C] int32, local in user block
+    i = d[1:2]                           # [1, C] int32, local in item block
+    v = pltpu.bitcast(d[2:3], jnp.float32)
+    wt = pltpu.bitcast(d[3:4], jnp.float32)
+
+    Wb = w_out_ref[:]                    # [UB, fe] f32
+    Hb = h_vmem[pl.ds(ib * IB, IB), :]   # [IB, fe] f32
+
+    # everything runs in "transposed" [.., C] orientation so the
+    # per-example vectors stay in their natural [1, C] lane layout —
+    # no lane<->sublane relayouts anywhere in the chunk
+    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
+           == u).astype(mxu_dtype)       # [UB, C] one-hot
+    pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
+           == i).astype(mxu_dtype)       # [IB, C]
+
+    # gathers on the MXU: block.T-contraction one_hot -> [fe, C]
+    wu = jax.lax.dot_general(
+        Wb.astype(mxu_dtype), put, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, C]
+    hi = jax.lax.dot_general(
+        Hb.astype(mxu_dtype), pit, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, C]
+
+    score = jnp.sum(wu * hi, axis=0, keepdims=True)    # [1, C], has b_u+b_i
+    gb = hp_ref[0, 0]
+    if biased:
+        sig = jax.nn.sigmoid(score + gb)
+        pred = hp_ref[0, 1] + sig * hp_ref[0, 2]
+        g_com = _gradient_common(loss, v - pred, sig, hp_ref[0, 2]) * wt
+    else:
+        g_com = (v - (score + gb)) * wt
+
+    w_lr = rates_ref[:, 0:1]                           # [fe, 1] columns
+    w_reg = rates_ref[:, 1:2]
+    h_lr = rates_ref[:, 2:3]
+    h_reg = rates_ref[:, 3:4]
+    delta_w = w_lr * (g_com * hi - wt * w_reg * wu)    # [fe, C]
+    delta_h = h_lr * (g_com * wu - wt * h_reg * hi)
+
+    # scatter-adds on the MXU: one_hot contracted over C -> [K, fe]
+    w_out_ref[:] = Wb + jax.lax.dot_general(
+        put, delta_w.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h_vmem[pl.ds(ib * IB, IB), :] = Hb + jax.lax.dot_general(
+        pit, delta_h.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(h_vmem, h_out_ref, sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "loss", "biased", "mxu_dtype", "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
+                  meta, loss: int, biased: bool, mxu_dtype: str = "bf16",
+                  interpret: bool = False):
+    """One epoch. meta = plan.meta(fe); data = plan.packed; order = plan.epoch_order(seed); hp_vec = [1, 8] f32
+    (global_bias, min_rating, rating_range, ...); rates = [fe, 4] from
+    mxu_column_rates (already scaled by the current learn rate)."""
+    nc, C, UB, IB, n_ub, i_pad, fe = meta
+    ub, ib, row = order
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+
+    kernel = functools.partial(
+        _mxu_sgd_kernel, loss=loss, biased=biased, C=C, UB=UB, IB=IB,
+        mxu_dtype=dt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((UB, fe), lambda c, ub, ib, row: (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 4, C), lambda c, ub, ib, row: (row[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 4), lambda c, ub, ib, row: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda c, ub, ib, row: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((UB, fe), lambda c, ub, ib, row: (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((i_pad, fe), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    W_out, H_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ub * UB, fe), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, fe), jnp.float32),
+        ],
+        # inputs: 0..2 scalar prefetch, 3 = W, 4 = H
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(ub, ib, row, W_ext, H_ext, data, rates, hp_vec)
+    return W_out, H_out
+
+
+def mxu_supported(num_items: int, num_factors: int,
+                  item_block: int = 1024) -> bool:
+    """Whether the item table fits the kernel's VMEM budget."""
+    fe = max(64, _round_up(num_factors + 2, 8))
+    n_ib = max((num_items + item_block - 1) // item_block, 1)
+    return n_ib * item_block * fe * 4 <= VMEM_ITEM_TABLE_BYTES
