@@ -106,6 +106,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.global_bias = 0.0
         self.current_learnrate = None
         self._blocked = None
+        self._flat_cache = None
         self._key = None
 
     # --- hyperparameter plumbing ---
@@ -199,7 +200,34 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         for _ in range(self.num_iter):
             self.iterate()
 
+    def _ensure_epoch_ready(self):
+        """Lazily rebuild the blocked epoch data when missing — e.g. after
+        ``load_model`` — so ``iterate()``/``compute_objective()`` keep
+        working without a fresh ``train()`` (reference
+        MatrixFactorization.cs Train/Iterate split: LoadModel then Iterate
+        continues training)."""
+        if self._blocked is None:
+            if self.ratings is None:
+                raise RuntimeError(
+                    f"{type(self).__name__}: no ratings set; assign "
+                    ".ratings before iterating a loaded model")
+            self._prepare_epoch_data()
+        # grow the loaded tables to cover the epoch's padded id space
+        need_u = self._bmeta["ngroups"] * self._bmeta["group_users"]
+        if self.W_ext.shape[0] < need_u:
+            fe = self.W_ext.shape[1]
+            pad = np.zeros((need_u - self.W_ext.shape[0], fe), np.float32)
+            pad[:, fe - 1] = 1.0
+            self.W_ext = jnp.concatenate([self.W_ext, jnp.asarray(pad)])
+        if self.H_ext.shape[0] < self.ratings.num_items:
+            fe = self.H_ext.shape[1]
+            pad = np.zeros((self.ratings.num_items - self.H_ext.shape[0], fe),
+                           np.float32)
+            pad[:, fe - 2] = 1.0
+            self.H_ext = jnp.concatenate([self.H_ext, jnp.asarray(pad)])
+
     def iterate(self, update_user: bool = True, update_item: bool = True):
+        self._ensure_epoch_ready()
         self._key, sub = jax.random.split(self._key)
         rates = sgd.column_rates(
             self.num_factors, self.current_learnrate, self.reg_u, self.reg_i,
@@ -227,6 +255,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             item_bias=self.H_ext[:, f + 1])
 
     def compute_objective(self) -> float:
+        self._ensure_epoch_ready()
         data = self._flat_data()
         hp = dict(self._hp(),
                   learn_rate=jnp.float32(self.current_learnrate),

@@ -35,6 +35,7 @@ class SocialMF(BiasedMatrixFactorization):
         super().__init__()
         self.social_regularization = 1.0
         self.user_relation = None  # InteractionData: user -> trusted user
+        self._T = None
 
     def _trust_matrix(self, num_users):
         T = np.zeros((num_users, num_users), dtype=np.float32)
@@ -65,7 +66,20 @@ class SocialMF(BiasedMatrixFactorization):
                                      .astype(np.float32))
         self._flat_data()  # rating arrays for the batch gradient
 
+    def _ensure_epoch_ready(self):
+        """Also rebuild the trust matrix and the flat rating arrays after
+        load_model (reference Train/Iterate split)."""
+        super()._ensure_epoch_ready()
+        if self._T is None:
+            U = self.num_users_trained
+            T = self._trust_matrix(U)
+            self._T = jnp.asarray(T)
+            self._has_conn = jnp.asarray((T.sum(axis=1) > 0)
+                                         .astype(np.float32))
+        self._flat_data()
+
     def iterate(self, update_user: bool = True, update_item: bool = True):
+        self._ensure_epoch_ready()
         data = self._flat_cache
         U = self.num_users_trained
         f = self.num_factors

@@ -104,8 +104,21 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
             user_scaling=jnp.ones(U),
             user_scaling_by_day=jnp.zeros((U, self._num_days)),
         )
+        self._prepare_epoch()
+        for _ in range(self.num_iter):
+            self.iterate()
+
+    def _prepare_epoch(self):
+        """Build the padded shuffled epoch arrays from ``self.ratings``.
+        Called by ``train()`` and lazily by ``iterate()`` after
+        ``load_model`` (reference Train/Iterate split)."""
+        data = self.ratings
+        if data is None or data.times is None:
+            raise RuntimeError(f"{type(self).__name__}: timed ratings must "
+                               "be set before iterating")
+        days = self._relative_day(data.times)
         # dev_u(t) precomputed per rating (constant during training)
-        diff = days - mean_day[data.users]
+        diff = days - self._user_mean_day[data.users]
         dev = np.sign(diff) * np.abs(diff) ** self.beta
 
         n = len(data)
@@ -119,8 +132,9 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
         self._epoch = dict(
             users=pad(data.users, np.int32), items=pad(data.items, np.int32),
             values=pad(data.values, np.float32),
-            days=pad(days, np.int32),
-            bins=pad(days // self.bin_size, np.int32),
+            days=pad(np.minimum(days, self._num_days - 1), np.int32),
+            bins=pad(np.minimum(days // self.bin_size, self._num_bins - 1),
+                     np.int32),
             dev=pad(dev, np.float32),
             weights=jnp.asarray(np.concatenate(
                 [np.ones(n, np.float32), np.zeros(n_pad - n, np.float32)])),
@@ -129,8 +143,6 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
             self._setup_frequencies(days)
         self._B = B
         self._key = jax.random.PRNGKey(self.random_seed)
-        for _ in range(self.num_iter):
-            self.iterate()
 
     def _setup_frequencies(self, days):
         data = self.ratings
@@ -146,8 +158,18 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
         freq_by_day[uniq // self._num_days, uniq % self._num_days] = logf
         self._freq_by_day = freq_by_day
         self._num_freqs = max(int(logf.max()) + 1, 1)
-        self.params["item_bias_at_frequency"] = jnp.zeros(
-            (data.num_items, self._num_freqs))
+        if "item_bias_at_frequency" in self.params:
+            # loaded model: keep the trained table, growing it if the
+            # current data has higher frequencies than the saved one
+            tbl = self.params["item_bias_at_frequency"]
+            if tbl.shape[1] < self._num_freqs:
+                tbl = jnp.pad(tbl, ((0, 0),
+                                    (0, self._num_freqs - tbl.shape[1])))
+            self._num_freqs = int(tbl.shape[1])
+            self.params["item_bias_at_frequency"] = tbl
+        else:
+            self.params["item_bias_at_frequency"] = jnp.zeros(
+                (data.num_items, self._num_freqs))
         per_rating_freq = logf[inv]
         n_pad = self._epoch["users"].shape[0]
         n = len(data)
@@ -168,6 +190,8 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
         return hp
 
     def iterate(self):
+        if getattr(self, "_epoch", None) is None:
+            self._prepare_epoch()     # load_model -> keep iterating
         self._key, sub = jax.random.split(self._key)
         self.params = _time_aware_epoch(
             self.params, self._epoch, sub, self._hp(),
@@ -222,35 +246,41 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
         return out.astype(np.float32)
 
     def save_model(self, path):
-        p = self.params
         with ModelWriter(path, type(self).__name__, "2.99") as w:
-            w.scalar(self.global_average)
-            w.int_scalar(self._earliest)
-            w.int_scalar(self._latest_day)
-            w.int_scalar(self._num_bins)
-            w.vector(np.asarray(p["user_bias"]))
-            w.vector(np.asarray(p["item_bias"]))
-            w.vector(np.asarray(p["alpha"]))
-            w.vector(self._user_mean_day)
-            w.matrix(np.asarray(p["item_bias_by_time_bin"]))
-            w.matrix(np.asarray(p["user_bias_by_day"]))
-            w.vector(np.asarray(p["user_scaling"]))
-            w.matrix(np.asarray(p["user_scaling_by_day"]))
+            self._write_sections(w)
+
+    def _write_sections(self, w):
+        p = self.params
+        w.scalar(self.global_average)
+        w.int_scalar(self._earliest)
+        w.int_scalar(self._latest_day)
+        w.int_scalar(self._num_bins)
+        w.vector(np.asarray(p["user_bias"]))
+        w.vector(np.asarray(p["item_bias"]))
+        w.vector(np.asarray(p["alpha"]))
+        w.vector(self._user_mean_day)
+        w.matrix(np.asarray(p["item_bias_by_time_bin"]))
+        w.matrix(np.asarray(p["user_bias_by_day"]))
+        w.vector(np.asarray(p["user_scaling"]))
+        w.matrix(np.asarray(p["user_scaling_by_day"]))
 
     def load_model(self, path):
         with ModelReader(path, type(self).__name__) as r:
-            self.global_average = r.scalar()
-            self._earliest = r.int_scalar()
-            self._latest_day = r.int_scalar()
-            self._num_bins = r.int_scalar()
-            bu = r.vector()
-            bi = r.vector()
-            alpha = r.vector()
-            self._user_mean_day = r.vector()
-            ibt = r.matrix()
-            ubd = r.matrix()
-            us = r.vector()
-            usd = r.matrix()
+            self._read_sections(r)
+
+    def _read_sections(self, r):
+        self.global_average = r.scalar()
+        self._earliest = r.int_scalar()
+        self._latest_day = r.int_scalar()
+        self._num_bins = r.int_scalar()
+        bu = r.vector()
+        bi = r.vector()
+        alpha = r.vector()
+        self._user_mean_day = r.vector()
+        ibt = r.matrix()
+        ubd = r.matrix()
+        us = r.vector()
+        usd = r.matrix()
         self._num_days = ubd.shape[1]
         self.params = dict(
             user_bias=jnp.asarray(bu), item_bias=jnp.asarray(bi),
@@ -261,6 +291,7 @@ class TimeAwareBaseline(RatingPredictor, IterativeModel):
             user_scaling_by_day=jnp.asarray(usd))
         self.num_users_trained = bu.shape[0]
         self.num_items_trained = bi.shape[0]
+        self._epoch = None            # rebuilt lazily on iterate()
 
 
 class TimeAwareBaselineWithFrequencies(TimeAwareBaseline):
@@ -294,6 +325,28 @@ class TimeAwareBaselineWithFrequencies(TimeAwareBaseline):
         self.reg_user_scaling = 0.0476
         self.reg_user_scaling_by_day = 0.019
         self.reg_item_bias_at_frequency = 0.000000011
+
+    # persistence: the base sections plus the frequency structures
+    # (reference TimeAwareBaselineWithFrequencies.cs:42 SaveModel writes
+    # item_bias_at_frequency and the per-(user,day) log-frequency matrix)
+
+    def _write_sections(self, w):
+        super()._write_sections(w)
+        w.matrix(np.asarray(self.params["item_bias_at_frequency"]))
+        fb = self._freq_by_day
+        uu, dd = np.nonzero(fb)
+        w.sparse(fb.shape[0], fb.shape[1], uu, dd,
+                 fb[uu, dd].astype(np.float32))
+
+    def _read_sections(self, r):
+        super()._read_sections(r)
+        biaf = r.matrix()
+        rows, cols, uu, dd, vv = r.sparse()
+        self.params["item_bias_at_frequency"] = jnp.asarray(biaf)
+        self._num_freqs = biaf.shape[1]
+        fb = np.zeros((rows, cols), dtype=np.int32)
+        fb[uu, dd] = vv.astype(np.int32)
+        self._freq_by_day = fb
 
 
 @functools.partial(jax.jit, static_argnames=("batch_size", "with_freq"),

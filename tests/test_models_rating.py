@@ -199,3 +199,42 @@ class TestSaveLoadRoundTrip:
         m2.load_model(path)
         after = m2.predict_batch(users, items)
         np.testing.assert_allclose(before, after, rtol=0, atol=1e-6)
+
+
+class TestLoadThenIterate:
+    """LoadModel then Iterate keeps training without a fresh train()
+    (reference MatrixFactorization.cs Train/Iterate split: the CLI's
+    --load-model + --find-iter flow)."""
+
+    @pytest.mark.parametrize("name", [n for n in list_rating_predictors()
+                                      if n not in _ROUNDTRIP_SKIP])
+    def test_iterate_after_load(self, name, tmp_path):
+        train = small_ratings()
+        m = create_rating_predictor(name)
+        if not hasattr(m, "iterate"):
+            pytest.skip("not an iterative model")
+        m.ratings = train
+        TestSaveLoadRoundTrip._give_attributes(m)
+        if hasattr(m, "num_iter"):
+            m.num_iter = 2
+        if hasattr(m, "batch_size"):
+            m.batch_size = 16
+        m.train()
+        obj_trained = m.compute_objective() if hasattr(
+            m, "compute_objective") else float("nan")
+        path = str(tmp_path / f"{name}.model")
+        m.save_model(path)
+
+        m2 = create_rating_predictor(name)
+        m2.ratings = train
+        TestSaveLoadRoundTrip._give_attributes(m2)
+        if hasattr(m2, "batch_size"):
+            m2.batch_size = 16
+        m2.load_model(path)
+        m2.iterate()                      # must not crash
+        users = np.array([0, 1, 2, 3, 4], dtype=np.int32)
+        items = np.array([0, 1, 2, 3, 0], dtype=np.int32)
+        assert np.all(np.isfinite(m2.predict_batch(users, items)))
+        if np.isfinite(obj_trained):
+            # models with a real objective must keep providing it
+            assert np.isfinite(m2.compute_objective())

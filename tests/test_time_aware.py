@@ -46,8 +46,9 @@ class TestTimeAware:
         assert np.isfinite(m.predict(0, 0))
 
     def test_save_load(self, name, timed_data, tmp_path):
-        if name == "TimeAwareBaselineWithFrequencies":
-            pytest.skip("frequency tables not yet in the save format")
+        """Bit-identical predictions after save -> load, including the
+        frequency tables (reference TimeAwareBaselineWithFrequencies.cs:42
+        SaveModel)."""
         train, test = timed_data
         m = create_rating_predictor(name)
         m.ratings = train
@@ -61,11 +62,25 @@ class TestTimeAware:
         m2 = create_rating_predictor(name)
         m2.ratings = train
         m2.load_model(p)
-        m2._user_mean_day = m._user_mean_day
-        m2._earliest = m._earliest
-        m2._latest_day = m._latest_day
-        m2._num_bins = m._num_bins
-        m2.bin_size = m.bin_size
         after = m2.predict_batch_time(test.users[:20], test.items[:20],
                                       test.times[:20])
         np.testing.assert_allclose(before, after, atol=1e-5)
+
+    def test_load_then_iterate(self, name, timed_data, tmp_path):
+        """LoadModel then Iterate keeps training without a fresh train()
+        (reference Train/Iterate split)."""
+        train, test = timed_data
+        m = create_rating_predictor(name)
+        m.ratings = train
+        m.num_iter = 2
+        m.batch_size = 4096
+        m.train()
+        p = str(tmp_path / "ta.model")
+        m.save_model(p)
+        m2 = create_rating_predictor(name)
+        m2.ratings = train
+        m2.batch_size = 4096
+        m2.load_model(p)
+        m2.iterate()
+        res = evaluate_ratings(m2, test)
+        assert np.isfinite(res["RMSE"])
