@@ -224,6 +224,12 @@ class IncrementalItemRecommender(ItemRecommender):
     """Online updates for implicit feedback
     (reference IncrementalItemRecommender.cs:29-102)."""
 
+    # reference IncrementalItemRecommender.cs:32-35: C# auto-property
+    # defaults (false); subclasses override in their ctors (BPRMF.cs:116,
+    # KNN.cs:73, MostPopular.cs:52)
+    update_users = False
+    update_items = False
+
     def add_feedback(self, users, items) -> None:
         self.feedback = self.feedback.add(users, items)
         self._retrain(users, items)

@@ -11,6 +11,21 @@ All correlation matrices come from the matmul kernels in
 ops/correlation.py; implicit-KNN scoring is a dense masked-correlation x
 incidence matmul over the whole catalog instead of the reference's
 per-candidate loops.
+
+Two storage modes, switched automatically on the entity count:
+
+* dense (N <= ``ops.correlation.DENSE_NMAX``): the full [N, N]
+  correlation matrix, exact reference semantics;
+* top-k (large N): only each row's k best neighbors and their
+  correlations, computed by the streaming tiled kernels
+  (``binary_correlation_topk`` / ``rating_correlation_topk``) so the
+  [N, N] matrix never exists — this is what lets user-user KNN train at
+  Netflix shape (480k users) on one chip. Implicit-KNN scoring is exact
+  in this mode (it only ever uses the k nearest neighbors); rating-KNN
+  prediction considers co-raters within the stored neighbor lists
+  (k_store = max(3k, 128) rows), a standard neighborhood truncation of
+  the reference's scan over *all* positively correlated co-raters
+  (``RatingPrediction/UserKNN.cs:58-93``).
 """
 
 from __future__ import annotations
@@ -18,6 +33,7 @@ from __future__ import annotations
 import enum
 
 import numpy as np
+import scipy.sparse as sp
 
 from mymedialite_tpu.io.model_io import ModelReader, ModelWriter
 from mymedialite_tpu.models.base import (
@@ -66,11 +82,78 @@ class _EntityView:
         self.items = items
 
 
+class _CorrelationStore:
+    """Dense [N, N] or per-row top-k correlation storage shared by the
+    KNN families (reference SymmetricCorrelationMatrix / the precomputed
+    neighbor lists of ItemRecommendation/KNN.cs:104-108)."""
+
+    def _store_dense(self, corr):
+        self.corr = corr
+        self.nbr_ids = self.nbr_vals = None
+        self._sorted_ids = self._sorted_vals = None
+
+    def _store_topk(self, ids, vals):
+        self.corr = None
+        self.nbr_ids, self.nbr_vals = ids, vals
+        # id-sorted copies for O(log k) correlation lookups
+        order = np.argsort(ids, axis=1)
+        rows = np.arange(ids.shape[0])[:, None]
+        self._sorted_ids = ids[rows, order]
+        self._sorted_vals = vals[rows, order]
+
+    @property
+    def is_topk(self):
+        return self.corr is None and self.nbr_ids is not None
+
+    def _lookup_corr(self, row_id, cols):
+        """Correlations of ``row_id`` with ``cols`` (0 where not stored)."""
+        if not self.is_topk:
+            return self.corr[row_id, cols]
+        ids = self._sorted_ids[row_id]
+        vals = self._sorted_vals[row_id]
+        pos = np.clip(np.searchsorted(ids, cols), 0, ids.shape[0] - 1)
+        return np.where(ids[pos] == cols, vals[pos], 0.0)
+
+    def get_similarity(self, a, b):
+        if not self.is_topk:
+            return float(self.corr[a, b])
+        return float(self._lookup_corr(a, np.asarray([b]))[0])
+
+    def get_most_similar(self, entity_id, n=10):
+        """All entities but self, by descending correlation, first n
+        (reference Correlation/Extensions.GetNearestNeighbors :153-166)."""
+        if not self.is_topk:
+            return corr_ops.nearest_neighbors(self.corr, int(n))[entity_id]
+        return self.nbr_ids[entity_id][:int(n)]
+
+    # model-file sections (discriminated: "dense" -> reference-style
+    # matrix, "topk N k" -> flat neighbor id/value arrays)
+    def _write_corr(self, w):
+        if not self.is_topk:
+            w._f.write("dense\n")
+            w.matrix(self.corr)
+        else:
+            N, k = self.nbr_ids.shape
+            w._f.write(f"topk {N} {k}\n")
+            w.int_vector(self.nbr_ids.reshape(-1))
+            w.vector(self.nbr_vals.reshape(-1))
+
+    def _read_corr(self, r):
+        parts = r._line().split()
+        if parts[0] == "dense":
+            self._store_dense(r.matrix())
+        else:
+            N, k = int(parts[1]), int(parts[2])
+            ids = r.int_vector().reshape(N, k)
+            vals = r.vector().reshape(N, k)
+            self._store_topk(ids, vals)
+
+
 # ---------------------------------------------------------------------------
 # implicit-feedback KNN (reference ItemRecommendation/KNN.cs)
 # ---------------------------------------------------------------------------
 
-class _ImplicitKNN(IncrementalItemRecommender):
+class _ImplicitKNN(IncrementalItemRecommender, _CorrelationStore):
     HYPERPARAMS = {
         "k": int,
         "correlation": BinaryCorrelationType,
@@ -90,9 +173,13 @@ class _ImplicitKNN(IncrementalItemRecommender):
         self.alpha = 0.5
         self.weighted = False
         self.correlation = BinaryCorrelationType.COSINE
-        self.corr = None            # [N, N] numpy correlation matrix
+        self.corr = None            # [N, N] numpy correlation (dense mode)
+        self.nbr_ids = None         # [N, k] ids + values (top-k mode)
+        self.nbr_vals = None
         self.neighbors = None       # [N, k] neighbor ids
         self.attributes = None      # InteractionData (entity -> attribute)
+        self._Wk_csr = None         # cached sparse weight matrix (top-k)
+        self._M_csr = None          # cached sparse incidence (top-k)
 
     def _correlation_data(self):
         f = self.feedback
@@ -108,13 +195,27 @@ class _ImplicitKNN(IncrementalItemRecommender):
 
     def train(self):
         data, n, m = self._correlation_data()
-        self.corr = corr_ops.binary_correlation(
-            data, n, m, kind=_BINARY_KIND[self.correlation.value],
-            alpha=self.alpha, weighted=self.weighted)
+        self._Wk_csr = self._M_csr = None
+        if n <= corr_ops.DENSE_NMAX:
+            self._store_dense(corr_ops.binary_correlation(
+                data, n, m, kind=_BINARY_KIND[self.correlation.value],
+                alpha=self.alpha, weighted=self.weighted))
+        else:
+            if self.k == INF_K:
+                raise ValueError(
+                    f"{type(self).__name__}: k=inf (SumUp) needs the full "
+                    f"[N, N] correlation matrix; impossible at N={n} "
+                    f"(> DENSE_NMAX={corr_ops.DENSE_NMAX}) — set a finite k")
+            self._store_topk(*corr_ops.binary_correlation_topk(
+                data, n, m, self.k,
+                kind=_BINARY_KIND[self.correlation.value],
+                alpha=self.alpha, weighted=self.weighted))
         self._build_neighbors()
 
     def _build_neighbors(self):
-        if self.k != INF_K:
+        if self.is_topk:
+            self.neighbors = self.nbr_ids
+        elif self.k != INF_K:
             self.neighbors = corr_ops.nearest_neighbors(self.corr, self.k)
 
     def _incidence(self):
@@ -122,9 +223,41 @@ class _ImplicitKNN(IncrementalItemRecommender):
         f = self.feedback
         return corr_ops.incidence_dense(f, f.num_users, f.num_items)
 
+    def _sparse_mats(self):
+        """CSR weight matrix (sign(corr)*|corr|^q at the top-k positions)
+        and CSR binary incidence for memory-bounded scoring."""
+        if self._Wk_csr is None:
+            N, k = self.nbr_ids.shape
+            vals = (np.sign(self.nbr_vals) *
+                    np.abs(self.nbr_vals) ** self.q).astype(np.float32)
+            rows = np.repeat(np.arange(N), k)
+            self._Wk_csr = sp.csr_matrix(
+                (vals.reshape(-1), (rows, self.nbr_ids.reshape(-1))),
+                shape=(N, N))
+            f = self.feedback
+            M = sp.csr_matrix(
+                (np.ones(len(f.users), np.float32), (f.users, f.items)),
+                shape=(f.num_users, f.num_items))
+            M.data[:] = 1.0       # collapse duplicate events to binary
+            self._M_csr = M
+            norm = np.asarray(self._Wk_csr.sum(axis=1)).ravel()
+            norm[norm == 0] = 1.0
+            self._Wk_norm = norm.astype(np.float32)
+        return self._Wk_csr, self._M_csr, self._Wk_norm
+
     def score_catalog(self, users):
         users = np.clip(np.asarray(users, dtype=np.int64), 0,
                         self.feedback.num_users - 1)
+        if self.is_topk:
+            # sparse top-k mode: same math, [N, N] never materialized
+            Wk, M, norm = self._sparse_mats()
+            if self.ENTITY == "user":
+                scores = np.asarray((Wk[users] @ M).todense()) \
+                    / norm[users][:, None]
+            else:
+                scores = np.asarray((M[users] @ Wk.T).todense()) \
+                    / norm[None, :]
+            return scores.astype(np.float32)
         M = self._incidence()
         if self.k == INF_K:
             # SumUp path (reference KNN K=inf): unnormalized sum of corr^q
@@ -162,31 +295,25 @@ class _ImplicitKNN(IncrementalItemRecommender):
         return out
 
     def _retrain(self, users, items):
-        if self.corr is not None:
+        if self.corr is not None or self.nbr_ids is not None:
             self.train()
 
     # correlation matrices round-trip in the reference text format
-    # (reference ItemRecommendation/KNN.cs:118-160)
+    # (reference ItemRecommendation/KNN.cs:118-160); top-k mode stores
+    # the neighbor lists instead
     def save_model(self, path):
         with ModelWriter(path, type(self).__name__, "2.99") as w:
             w._f.write(f"{self.correlation.value}\n")
-            w.matrix(self.corr)
+            self._write_corr(w)
 
     def load_model(self, path):
         with ModelReader(path, type(self).__name__) as r:
             name = r._line()
             self.correlation = next(m for m in BinaryCorrelationType
                                     if m.value == name)
-            self.corr = r.matrix()
+            self._read_corr(r)
+        self._Wk_csr = self._M_csr = None
         self._build_neighbors()
-
-    def get_similarity(self, a, b):
-        return float(self.corr[a, b])
-
-    def get_most_similar(self, entity_id, n=10):
-        """All entities but self, by descending correlation, first n
-        (reference Correlation/Extensions.GetNearestNeighbors :153-166)."""
-        return corr_ops.nearest_neighbors(self.corr, int(n))[entity_id]
 
 
 class _UserSimilarityProvider:
@@ -253,7 +380,7 @@ class ItemAttributeKNN(_ImplicitKNN, _ItemSimilarityProvider):
 # rating-prediction KNN (reference RatingPrediction/KNN.cs)
 # ---------------------------------------------------------------------------
 
-class _RatingKNN(IncrementalRatingPredictor):
+class _RatingKNN(IncrementalRatingPredictor, _CorrelationStore):
     HYPERPARAMS = {
         "k": int,
         "correlation": RatingCorrelationType,
@@ -276,6 +403,8 @@ class _RatingKNN(IncrementalRatingPredictor):
         self.correlation = RatingCorrelationType.PEARSON
         self.baseline = UserItemBaseline()
         self.corr = None
+        self.nbr_ids = None
+        self.nbr_vals = None
         self.attributes = None
 
     # baseline hyperparameters pass through (reference KNN.cs:71-78)
@@ -303,6 +432,12 @@ class _RatingKNN(IncrementalRatingPredictor):
     def num_iter(self, v):
         self.baseline.num_iter = int(v)
 
+    def _k_store(self, n: int) -> int:
+        """Stored neighbors per row in top-k mode: enough headroom over the
+        prediction-time K that truncation rarely bites."""
+        k = 512 if self.k == INF_K else max(128, 3 * self.k)
+        return min(n - 1, k)
+
     def train(self):
         self.baseline.ratings = self.ratings
         self.baseline.train()
@@ -311,18 +446,31 @@ class _RatingKNN(IncrementalRatingPredictor):
             if self.attributes is None:
                 raise ValueError(f"{type(self).__name__} needs attribute data")
             n = (data.num_users if self.ENTITY == "user" else data.num_items)
-            self.corr = corr_ops.binary_correlation(
-                self.attributes, max(n, self.attributes.num_users),
-                self.attributes.num_items,
-                kind=_BINARY_KIND.get(self.correlation.value, "cosine"),
-                alpha=self.alpha, weighted=self.weighted_binary)
+            n = max(n, self.attributes.num_users)
+            kind = _BINARY_KIND.get(self.correlation.value, "cosine")
+            if n <= corr_ops.DENSE_NMAX:
+                self._store_dense(corr_ops.binary_correlation(
+                    self.attributes, n, self.attributes.num_items,
+                    kind=kind, alpha=self.alpha,
+                    weighted=self.weighted_binary))
+            else:
+                self._store_topk(*corr_ops.binary_correlation_topk(
+                    self.attributes, n, self.attributes.num_items,
+                    self._k_store(n), kind=kind, alpha=self.alpha,
+                    weighted=self.weighted_binary))
         elif self.correlation in (RatingCorrelationType.PEARSON,
                                   RatingCorrelationType.RATING_COSINE):
-            self.corr = corr_ops.rating_correlation(
-                data, entity=self.ENTITY,
-                kind=("pearson" if self.correlation ==
-                      RatingCorrelationType.PEARSON else "cosine"),
-                shrinkage=self.alpha)
+            kind = ("pearson" if self.correlation ==
+                    RatingCorrelationType.PEARSON else "cosine")
+            n = data.num_users if self.ENTITY == "user" else data.num_items
+            if n <= corr_ops.DENSE_NMAX:
+                self._store_dense(corr_ops.rating_correlation(
+                    data, entity=self.ENTITY, kind=kind,
+                    shrinkage=self.alpha))
+            else:
+                self._store_topk(*corr_ops.rating_correlation_topk(
+                    data, self._k_store(n), entity=self.ENTITY, kind=kind,
+                    shrinkage=self.alpha))
         else:
             if self.ENTITY == "user":
                 view, n, m = (_EntityView(data.users, data.items),
@@ -330,9 +478,15 @@ class _RatingKNN(IncrementalRatingPredictor):
             else:
                 view, n, m = (_EntityView(data.items, data.users),
                               data.num_items, data.num_users)
-            self.corr = corr_ops.binary_correlation(
-                view, n, m, kind=_BINARY_KIND[self.correlation.value],
-                alpha=self.alpha, weighted=self.weighted_binary)
+            kind = _BINARY_KIND[self.correlation.value]
+            if n <= corr_ops.DENSE_NMAX:
+                self._store_dense(corr_ops.binary_correlation(
+                    view, n, m, kind=kind, alpha=self.alpha,
+                    weighted=self.weighted_binary))
+            else:
+                self._store_topk(*corr_ops.binary_correlation_topk(
+                    view, n, m, self._k_store(n), kind=kind,
+                    alpha=self.alpha, weighted=self.weighted_binary))
 
     def predict_batch(self, users, items):
         """baseline + sum_w w * (r - baseline) / sum_w over the first K
@@ -342,21 +496,22 @@ class _RatingKNN(IncrementalRatingPredictor):
         items = np.asarray(items, dtype=np.int64)
         base = self.baseline.predict_batch(users, items)
         data = self.ratings
+        corr_n = (self.nbr_ids if self.is_topk else self.corr).shape[0]
         out = base.astype(np.float64).copy()
         for n_idx, (u, i) in enumerate(zip(users, items)):
             u, i = int(u), int(i)
             if self.ENTITY == "user":
-                if u >= self.corr.shape[0] or i >= data.num_items:
+                if u >= corr_n or i >= data.num_items:
                     continue
                 co_idx = data.by_item.segment(i)          # ratings of item i
                 raters = data.users[co_idx]
-                w = self.corr[u, raters]
+                w = self._lookup_corr(u, raters)
             else:
-                if i >= self.corr.shape[0] or u >= data.num_users:
+                if i >= corr_n or u >= data.num_users:
                     continue
                 co_idx = data.by_user.segment(u)          # ratings by user u
                 rated = data.items[co_idx]
-                w = self.corr[i, rated]
+                w = self._lookup_corr(i, rated)
             pos = w > 0
             if self.ENTITY == "user":
                 pos &= raters != u
@@ -380,21 +535,15 @@ class _RatingKNN(IncrementalRatingPredictor):
         return np.clip(out, self.min_rating, self.max_rating).astype(np.float32)
 
     def _retrain(self, users, items):
-        if self.corr is not None:
+        if self.corr is not None or self.nbr_ids is not None:
             self.train()
-
-    def get_similarity(self, a, b):
-        return float(self.corr[a, b])
-
-    def get_most_similar(self, entity_id, n=10):
-        return corr_ops.nearest_neighbors(self.corr, int(n))[entity_id]
 
     def save_model(self, path):
         self.baseline.ratings = self.ratings
         self.baseline.save_model(path + "-global-effects")
         with ModelWriter(path, type(self).__name__, "3.03") as w:
             w._f.write(f"{self.correlation.value}\n")
-            w.matrix(self.corr)
+            self._write_corr(w)
 
     def load_model(self, path):
         self.baseline.load_model(path + "-global-effects")
@@ -402,7 +551,7 @@ class _RatingKNN(IncrementalRatingPredictor):
             name = r._line()
             self.correlation = next(m for m in RatingCorrelationType
                                     if m.value == name)
-            self.corr = r.matrix()
+            self._read_corr(r)
 
 
 class UserKNNRating(_RatingKNN, _UserSimilarityProvider):

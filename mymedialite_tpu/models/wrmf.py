@@ -11,9 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from mymedialite_tpu.data.arrays import padded_history
 from mymedialite_tpu.models.bpr import ItemMF
-from mymedialite_tpu.ops.als import pad_rows, wrmf_optimize
+from mymedialite_tpu.ops.als import wrmf_optimize, wrmf_solve_row
 
 
 class WRMF(ItemMF):
@@ -50,60 +49,120 @@ class WRMF(ItemMF):
         return make_mesh()
 
     def _build_histories(self):
-        import jax
-        from mymedialite_tpu.parallel.mesh import replicated, row_sharded, \
-            row_sharded_2d
-
         f = self.feedback
-        mult = self.solve_chunk * (self._mesh.devices.size
-                                   if self._mesh is not None else 1)
-        uh, ul = padded_history(f.by_user)
-        ih, il = padded_history(f.by_item)
-        uh, ul, _ = pad_rows(uh, ul, mult)
-        ih, il, _ = pad_rows(ih, il, mult)
-        if self._mesh is not None:
-            sh2, sh1 = row_sharded_2d(self._mesh), row_sharded(self._mesh)
-            self._user_hist = (jax.device_put(uh, sh2),
-                               jax.device_put(ul, sh1))
-            self._item_hist = (jax.device_put(ih, sh2),
-                               jax.device_put(il, sh1))
-        else:
-            self._user_hist = (jnp.asarray(uh), jnp.asarray(ul))
-            self._item_hist = (jnp.asarray(ih), jnp.asarray(il))
+        self._user_hist = self._bucketize(f.by_user, f.num_users)
+        self._item_hist = self._bucketize(f.by_item, f.num_items)
 
-    def _optimize(self, H, hist, lens, alpha, reg):
+    # gathered-history memory budget per solve step: chunk * L * f floats
+    _GATHER_BUDGET = 2_097_152  # chunk * L <= 2M (f=40 -> ~320 MB)
+
+    def _bucketize(self, csr, num_rows: int):
+        """Length-bucketed padded histories: rows grouped by history length
+        into power-of-two buckets, bounding memory at O(2*nnz) instead of
+        the rectangular O(rows * Lmax) (power-law data: one 17k-item user
+        would force a 480k x 17k dense history). Returns a list of
+        (row_ids, hist_dev [nb_pad, L], lens_dev [nb_pad], chunk)."""
+        counts = csr.counts()[:num_rows]
+        ndev = self._mesh.devices.size if self._mesh is not None else 1
+        bounds = [16]
+        while bounds[-1] < max(int(counts.max()) if counts.size else 1, 1):
+            bounds.append(bounds[-1] * 2)
+        bidx = np.searchsorted(bounds, counts)
+        buckets = []
+        for b_i, L in enumerate(bounds):
+            rows = np.nonzero(bidx == b_i)[0]
+            if rows.size == 0:
+                continue
+            cap = max(self._GATHER_BUDGET // L, 8)
+            chunk = min(self.solve_chunk, 1 << (cap.bit_length() - 1))
+            mult = chunk * ndev
+            nb_pad = ((rows.size + mult - 1) // mult) * mult
+            hist = np.zeros((nb_pad, L), np.int32)
+            lens = np.zeros(nb_pad, np.int32)
+            lens[:rows.size] = counts[rows]
+            for j, r in enumerate(rows):
+                hist[j, :counts[r]] = csr.secondary(r)
+            buckets.append((rows, self._put(hist, lens), chunk))
+        return buckets
+
+    def _put(self, hist, lens):
         if self._mesh is None:
-            return wrmf_optimize(H, hist, lens, alpha, reg,
-                                 chunk=self.solve_chunk)
+            return jnp.asarray(hist), jnp.asarray(lens)
         import jax
-        from mymedialite_tpu.ops.als import wrmf_optimize_sharded
-        from mymedialite_tpu.parallel.mesh import replicated
-        H_rep = jax.device_put(np.asarray(H), replicated(self._mesh))
-        W = wrmf_optimize_sharded(self._mesh, H_rep, hist, lens, alpha,
-                                  reg, chunk=self.solve_chunk)
-        return jnp.asarray(np.asarray(W))
+        from mymedialite_tpu.parallel.mesh import row_sharded, row_sharded_2d
+        return (jax.device_put(hist, row_sharded_2d(self._mesh)),
+                jax.device_put(lens, row_sharded(self._mesh)))
+
+    def _optimize(self, H, buckets, alpha, reg, num_rows: int):
+        """Solve all rows bucket by bucket (each bucket an independent
+        batched solve; per-row results identical to the rectangular
+        layout since every row's system only involves its own history)."""
+        f = H.shape[1]
+        W = jnp.zeros((num_rows, f), H.dtype)
+        for rows, (hist, lens), chunk in buckets:
+            if self._mesh is None:
+                Wb = wrmf_optimize(H, hist, lens, alpha, reg, chunk=chunk)
+            else:
+                import jax
+                from mymedialite_tpu.ops.als import wrmf_optimize_sharded
+                from mymedialite_tpu.parallel.mesh import replicated
+                H_rep = jax.device_put(np.asarray(H),
+                                       replicated(self._mesh))
+                Wb = jnp.asarray(np.asarray(wrmf_optimize_sharded(
+                    self._mesh, H_rep, hist, lens, alpha, reg,
+                    chunk=chunk)))
+            W = W.at[jnp.asarray(rows)].set(Wb[:rows.size])
+        return W
 
     def iterate(self):
         """One alternation (reference WRMF.Iterate :68-73)."""
+        if getattr(self, "_hist_dirty", False) or self._user_hist is None:
+            self._build_histories()
+            self._hist_dirty = False
         p = self.params
         alpha = jnp.float32(self.alpha)
         reg = jnp.float32(self.regularization)
-        uh, ul = self._user_hist
-        W = self._optimize(p["item_factors"], uh, ul, alpha, reg)
-        p["user_factors"] = W[:p["user_factors"].shape[0]]
-        ih, il = self._item_hist
-        H = self._optimize(p["user_factors"], ih, il, alpha, reg)
-        p["item_factors"] = H[:p["item_factors"].shape[0]]
+        p["user_factors"] = self._optimize(
+            p["item_factors"], self._user_hist, alpha, reg,
+            p["user_factors"].shape[0])
+        p["item_factors"] = self._optimize(
+            p["user_factors"], self._item_hist, alpha, reg,
+            p["item_factors"].shape[0])
+
+    def retrain_user(self, user_id: int):
+        """Re-solve ONLY this user's row against the current item factors
+        (reference WRMF.RetrainUser, WRMF.cs:158-163); every other row is
+        bit-unchanged."""
+        p = self.params
+        idx = self.feedback.by_user.segment(user_id)
+        row = wrmf_solve_row(p["item_factors"], self.feedback.items[idx],
+                             jnp.float32(self.alpha),
+                             jnp.float32(self.regularization))
+        p["user_factors"] = p["user_factors"].at[user_id].set(row)
+
+    def retrain_item(self, item_id: int):
+        """Reference WRMF.RetrainItem, WRMF.cs:165-172."""
+        p = self.params
+        idx = self.feedback.by_item.segment(item_id)
+        row = wrmf_solve_row(p["user_factors"], self.feedback.users[idx],
+                             jnp.float32(self.alpha),
+                             jnp.float32(self.regularization))
+        p["item_factors"] = p["item_factors"].at[item_id].set(row)
 
     def _retrain(self, users, items):
-        """Re-solve the touched rows (reference RetrainUser/RetrainItem
-        :160-172) — done by refreshing histories and re-solving both sides
-        once for simplicity and determinism."""
+        """Re-solve only the touched rows (reference RetrainUser /
+        RetrainItem, WRMF.cs:158-172); the full padded histories used by
+        iterate() are rebuilt lazily if training resumes."""
         if self.params is None:
             return
         self._grow_tables()
-        self._build_histories()
-        self.iterate()
+        self._hist_dirty = True
+        if self.update_users:
+            for u in np.unique(np.asarray(users, dtype=np.int64)):
+                self.retrain_user(int(u))
+        if self.update_items:
+            for i in np.unique(np.asarray(items, dtype=np.int64)):
+                self.retrain_item(int(i))
 
     def _grow_tables(self):
         f = self.feedback

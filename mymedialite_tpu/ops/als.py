@@ -84,6 +84,25 @@ def wrmf_optimize_sharded(mesh, H, hist, lens, alpha, reg, *, chunk: int):
     return _wrmf_sharded_fn(mesh, chunk)(H, hist, lens, alpha, reg)
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def _solve_row_impl(H, hist, length, alpha, reg, *, L: int):
+    return _optimize_impl(H, hist[None, :], length[None], alpha, reg,
+                          chunk=1)[0]
+
+
+def wrmf_solve_row(H, item_ids: np.ndarray, alpha, reg):
+    """Closed-form solve of ONE row against the fixed side's factors —
+    the incremental-update primitive (reference WRMF.RetrainUser /
+    RetrainItem, WRMF.cs:158-172: only the touched row is re-solved).
+    History length is padded to a power of two to bound recompiles."""
+    n = int(item_ids.size)
+    L = max(1, 1 << (n - 1).bit_length()) if n else 1
+    hist = np.zeros(L, np.int32)
+    hist[:n] = item_ids
+    return _solve_row_impl(H, jnp.asarray(hist), jnp.asarray(n, jnp.int32),
+                           alpha, reg, L=L)
+
+
 def pad_rows(hist: np.ndarray, lens: np.ndarray, chunk: int):
     """Pad the user dimension to a multiple of chunk (empty histories)."""
     U = hist.shape[0]

@@ -8,11 +8,32 @@ TPU-native counterpart of the reference Correlation subsystem
 ``Pearson.cs:58``, ``RatingCosine.cs:34``).
 
 The reference computes all-pairs overlap by iterating the transpose
-(O(nnz^2/rows)); on TPU the same quantity is one MXU matmul A @ A^T of
-the binary incidence matrix (chunked over rows to bound memory), and the
-Pearson sufficient statistics are five such matmuls. Correlation values
-match the reference formulas exactly (diagonal forced to 1, the
-reference's zero-guards preserved).
+(O(nnz^2/rows)); on TPU the same quantity is an MXU matmul A @ A^T of
+the binary incidence matrix, and the Pearson sufficient statistics are
+five such matmuls. Correlation values match the reference formulas
+exactly (diagonal forced to 1, the reference's zero-guards preserved).
+
+Two paths:
+
+* the small-N path (``binary_correlation`` / ``rating_correlation``)
+  materializes the full [N, N] correlation in one shot — exact
+  reference storage semantics, used below ``DENSE_NMAX`` entities;
+* the scale path (``binary_correlation_topk`` /
+  ``rating_correlation_topk``) never materializes [N, N]: the incidence
+  lives on device as one int8 [N, m] array (built by a device scatter
+  from the COO stream), the Gram matrix is computed tile by tile
+  ([row_chunk, col_chunk] per step), and each row keeps only a running
+  top-k (value desc, id asc — the reference tie order from
+  ``Correlation/Extensions.GetNearestNeighbors``) merged with
+  ``lax.top_k``. Sweeping column chunks in ascending id order makes
+  XLA TopK's lower-index-first tie-breaking reproduce the reference
+  order with no extra sort. Rating correlations ride the same int8
+  machinery by encoding the rating scale's (equally spaced) levels as
+  small ints — Pearson is affine-invariant so the int-level statistics
+  give the exact correlation, with exact int32 accumulation on the MXU.
+  This replaces the reference's transpose-iteration overlap counting
+  (``Overlap.cs:26-80``) at shapes where a dense [N, N] is impossible
+  (Netflix user-user: 480k^2 floats ~ 920 GB).
 """
 
 from __future__ import annotations
@@ -22,6 +43,9 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# above this many entities, KNN models switch to the streaming top-k path
+DENSE_NMAX = 16_384
 
 
 def incidence_dense(data, num_rows: int, num_cols: int,
@@ -45,8 +69,17 @@ def _binary_correlation_from_incidence(A, alpha, *, kind: str):
 
 
 def _map_overlap(overlap, cx, cy, alpha, kind: str):
-    cx = cx[:, None]
-    cy = cy[None, :]
+    corr = _map_overlap_values(overlap, cx[:, None], cy[None, :], alpha, kind)
+    n = corr.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    # the driver sets the diagonal to 1 before mapping
+    # (BinaryDataSymmetricCorrelationMatrix.cs:48-50)
+    return jnp.where(eye, 1.0, corr)
+
+
+def _map_overlap_values(overlap, cx, cy, alpha, kind: str):
+    """Overlap counts -> correlation values (no diagonal handling);
+    cx/cy already broadcast-shaped."""
     if kind == "cosine":
         denom = jnp.sqrt(cx * cy)
         corr = jnp.where(denom > 0, overlap / jnp.maximum(denom, 1e-12), 0.0)
@@ -65,11 +98,7 @@ def _map_overlap(overlap, cx, cy, alpha, kind: str):
         corr = overlap
     else:
         raise ValueError(f"unknown binary correlation {kind!r}")
-    n = corr.shape[0]
-    eye = jnp.eye(n, dtype=bool)
-    # the driver sets the diagonal to 1 before mapping
-    # (BinaryDataSymmetricCorrelationMatrix.cs:48-50)
-    return jnp.where(eye, 1.0, corr)
+    return corr
 
 
 def binary_correlation(data, num_entities: int, num_features: int,
@@ -147,6 +176,271 @@ def rating_correlation(ratings, entity: str = "user", kind: str = "pearson",
         centered=(kind == "pearson")))
 
 
+# ---------------------------------------------------------------------------
+# streaming top-k correlation — the scale path (never materializes [N, N])
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "m"))
+def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int, m: int):
+    """int8 [n_pad, m] incidence built by one device scatter (duplicate
+    (entity, feature) pairs collapse, matching ``incidence_dense``)."""
+    A = jnp.zeros((n_pad, m), jnp.int8)
+    return A.at[entity_ids, feature_ids].set(levels, mode="drop")
+
+
+def _merge_topk(vals, ids, tile_vals, tile_ids, k: int):
+    """Merge the running per-row top-k with a tile's top-k. The running
+    entries come from lower column ids and are concatenated first, so
+    XLA TopK's lower-index-first tie rule keeps the reference order
+    (correlation desc, id asc)."""
+    mv, mi = jax.lax.top_k(jnp.concatenate([vals, tile_vals], axis=1), k)
+    mids = jnp.take_along_axis(
+        jnp.concatenate([ids, tile_ids], axis=1), mi, axis=1)
+    return mv, mids
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "k", "chunk", "n", "weighted"))
+def _topk_chunk_binary(A, cnt, w, row_start, alpha, *, kind: str, k: int,
+                       chunk: int, n: int, weighted: bool):
+    """Running top-k correlations for one block of rows against all
+    columns, sweeping column chunks in ascending id order."""
+    m = A.shape[1]
+    R = C = chunk
+    A_r = jax.lax.dynamic_slice(A, (row_start, 0), (R, m))
+    if weighted:
+        A_rw = A_r.astype(jnp.float32) * w[None, :]
+    rid = row_start + jnp.arange(R, dtype=jnp.int32)
+    cnt_r = jax.lax.dynamic_slice(cnt, (row_start,), (R,))
+    nc = A.shape[0] // C
+
+    def body(c, state):
+        col_start = c * C
+        A_c = jax.lax.dynamic_slice(A, (col_start, 0), (C, m))
+        if weighted:
+            ov = jnp.dot(A_rw, (A_c.astype(jnp.float32) * w[None, :]).T,
+                         preferred_element_type=jnp.float32)
+        else:
+            ov = jnp.dot(A_r, A_c.T,
+                         preferred_element_type=jnp.int32).astype(jnp.float32)
+        cnt_c = jax.lax.dynamic_slice(cnt, (col_start,), (C,))
+        corr = _map_overlap_values(ov, cnt_r[:, None], cnt_c[None, :],
+                                   alpha, kind)
+        cid = col_start + jnp.arange(C, dtype=jnp.int32)
+        bad = (cid[None, :] >= n) | (cid[None, :] == rid[:, None])
+        corr = jnp.where(bad, -jnp.inf, corr)
+        tv, ti = jax.lax.top_k(corr, k)
+        return _merge_topk(*state, tv, col_start + ti.astype(jnp.int32), k)
+
+    init = (jnp.full((R, k), -jnp.inf, jnp.float32),
+            jnp.full((R, k), jnp.int32(0), jnp.int32))
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("centered", "k", "chunk", "n"))
+def _topk_chunk_rating(L, row_start, shrinkage, *, centered: bool, k: int,
+                       chunk: int, n: int):
+    """Running top-k Pearson/RatingCosine for one block of rows.
+
+    L is int8 rating *levels* (0 = absent) when the scale is equally
+    spaced — Pearson is affine-invariant and RatingCosine scale-invariant,
+    so level statistics give the exact correlation with exact int32 MXU
+    accumulation — or float32 raw values otherwise.
+    """
+    m = L.shape[1]
+    R = C = chunk
+    int_path = L.dtype == jnp.int8
+    L_r = jax.lax.dynamic_slice(L, (row_start, 0), (R, m))
+    rid = row_start + jnp.arange(R, dtype=jnp.int32)
+    nc = L.shape[0] // C
+
+    def stats(L_r, B_r, L_c, B_c):
+        if int_path:
+            i32 = jnp.int32
+            nn = jnp.dot(B_r, B_c.T, preferred_element_type=i32)
+            Sxy = jnp.dot(L_r, L_c.T, preferred_element_type=i32)
+            Sx = jnp.dot(L_r, B_c.T, preferred_element_type=i32)
+            Sy = jnp.dot(B_r, L_c.T, preferred_element_type=i32)
+            # L*L can exceed int8: split l^2 = hi*128 + lo (l <= 127)
+            Lsq = L_r.astype(i32) * L_r.astype(i32)
+            hi = (Lsq >> 7).astype(jnp.int8)
+            lo = (Lsq & 127).astype(jnp.int8)
+            Sxx = (jnp.dot(hi, B_c.T, preferred_element_type=i32) << 7) \
+                + jnp.dot(lo, B_c.T, preferred_element_type=i32)
+            Lsq_c = L_c.astype(i32) * L_c.astype(i32)
+            hi_c = (Lsq_c >> 7).astype(jnp.int8)
+            lo_c = (Lsq_c & 127).astype(jnp.int8)
+            Syy = (jnp.dot(B_r, hi_c.T, preferred_element_type=i32) << 7) \
+                + jnp.dot(B_r, lo_c.T, preferred_element_type=i32)
+            return tuple(x.astype(jnp.float32)
+                         for x in (nn, Sxy, Sx, Sy, Sxx, Syy))
+        f32 = jnp.float32
+        nn = jnp.dot(B_r, B_c.T, preferred_element_type=f32)
+        Sxy = jnp.dot(L_r, L_c.T, preferred_element_type=f32)
+        Sx = jnp.dot(L_r, B_c.T, preferred_element_type=f32)
+        Sy = jnp.dot(B_r, L_c.T, preferred_element_type=f32)
+        Sxx = jnp.dot(L_r * L_r, B_c.T, preferred_element_type=f32)
+        Syy = jnp.dot(B_r, (L_c * L_c).T, preferred_element_type=f32)
+        return nn, Sxy, Sx, Sy, Sxx, Syy
+
+    if int_path:
+        B_r = (L_r != 0).astype(jnp.int8)
+    else:
+        B_r = (L_r != 0).astype(jnp.float32)
+
+    def body(c, state):
+        col_start = c * C
+        L_c = jax.lax.dynamic_slice(L, (col_start, 0), (C, m))
+        B_c = (L_c != 0).astype(L_c.dtype if not int_path else jnp.int8)
+        nn, Sxy, Sx, Sy, Sxx, Syy = stats(L_r, B_r, L_c, B_c)
+        # same formula as _rating_correlation_kernel (Pearson.cs:224-242)
+        if centered:
+            num = nn * Sxy - Sx * Sy
+            den = jnp.sqrt(jnp.maximum(
+                (nn * Sxx - Sx * Sx) * (nn * Syy - Sy * Sy), 0.0))
+        else:
+            num = Sxy
+            den = jnp.sqrt(jnp.maximum(Sxx * Syy, 0.0))
+        corr = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), 0.0)
+        corr = corr * ((nn - 1.0) / (nn - 1.0 + shrinkage))
+        corr = jnp.where(nn < 2, 0.0, corr)
+        cid = col_start + jnp.arange(C, dtype=jnp.int32)
+        bad = (cid[None, :] >= n) | (cid[None, :] == rid[:, None])
+        corr = jnp.where(bad, -jnp.inf, corr)
+        tv, ti = jax.lax.top_k(corr, k)
+        return _merge_topk(*state, tv, col_start + ti.astype(jnp.int32), k)
+
+    init = (jnp.full((R, k), -jnp.inf, jnp.float32),
+            jnp.full((R, k), jnp.int32(0), jnp.int32))
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
+def _run_topk_chunks(kernel, n: int, chunk: int, k_eff: int):
+    """Drive a per-row-chunk kernel over all rows, collecting host arrays."""
+    out_vals = np.empty((n, k_eff), np.float32)
+    out_ids = np.empty((n, k_eff), np.int32)
+    for r0 in range(0, n, chunk):
+        v, i = kernel(jnp.int32(r0))
+        take = min(chunk, n - r0)
+        out_vals[r0:r0 + take] = np.asarray(v)[:take]
+        out_ids[r0:r0 + take] = np.asarray(i)[:take]
+    return out_ids, out_vals
+
+
+def binary_correlation_topk(data, num_entities: int, num_features: int,
+                            k: int, kind: str = "cosine", alpha: float = 0.5,
+                            weighted: bool = False, chunk: int = 4096):
+    """Per-row top-k binary correlations without materializing [N, N].
+
+    Returns (neighbor_ids [n, k_eff] int32, values [n, k_eff] float32) in
+    the reference neighbor order (correlation desc, id asc — matches
+    ``nearest_neighbors`` on the dense matrix). Scales to Netflix-shape
+    user-user KNN (480k entities) on one chip: the int8 incidence is
+    ~n*m bytes on device and each step touches one [chunk, chunk] tile.
+    """
+    n, m = num_entities, num_features
+    k_eff = min(k, n - 1) if k >= 0 else n - 1
+    if k_eff <= 0:
+        return (np.zeros((n, 0), np.int32), np.zeros((n, 0), np.float32))
+    chunk = int(min(max(chunk, k_eff), n))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    eids = jnp.asarray(np.asarray(data.users, dtype=np.int32))
+    fids = jnp.asarray(np.asarray(data.items, dtype=np.int32))
+    A = _device_incidence(eids, fids, jnp.int8(1), n_pad=n_pad, m=m)
+    if weighted:
+        # inverse-log frequency weights (Overlap.ComputeWeighted,
+        # Overlap.cs:26-56); O(nnz) host bincounts with duplicate
+        # (entity, feature) pairs collapsed, like the incidence scatter
+        key = np.asarray(data.users, np.int64) * m + \
+            np.asarray(data.items, np.int64)
+        pairs = np.unique(key)
+        ue, uf = pairs // m, pairs % m
+        freq = np.bincount(uf, minlength=m)
+        w_host = (1.0 / np.log2(3.0 + freq)).astype(np.float32)
+        cnt = jnp.asarray(np.bincount(
+            ue, weights=w_host[uf].astype(np.float64),
+            minlength=n_pad).astype(np.float32))
+        w = jnp.asarray(w_host)
+    else:
+        w = jnp.zeros(m, jnp.float32)
+        cnt = jnp.sum(A, axis=1, dtype=jnp.int32).astype(jnp.float32)
+
+    def kernel(r0):
+        return _topk_chunk_binary(A, cnt, w, r0, jnp.float32(alpha),
+                                  kind=kind, k=k_eff, chunk=chunk, n=n,
+                                  weighted=weighted)
+
+    return _run_topk_chunks(kernel, n, chunk, k_eff)
+
+
+def _quantize_levels(values: np.ndarray, centered: bool):
+    """Encode ratings as small-int levels when the scale allows the exact
+    int8 MXU path: Pearson is affine-invariant (any equally spaced scale),
+    RatingCosine scale-invariant (values must be integer multiples of the
+    spacing). Returns int levels >= 1, or None to use float32."""
+    uniq = np.unique(values)
+    if uniq.size < 2:
+        return np.ones_like(values, dtype=np.int8) if uniq.size else None
+    s = float(np.min(np.diff(uniq)))
+    if s <= 0:
+        return None
+    if centered:
+        lev = np.round((values - uniq[0]) / s) + 1
+        exact = np.allclose(uniq[0] + (lev - 1) * s, values, atol=1e-9)
+    else:
+        lev = np.round(values / s)
+        exact = np.allclose(lev * s, values, atol=1e-9) and lev.min() >= 1
+    if not exact or lev.max() > 127:
+        return None
+    return lev.astype(np.int8)
+
+
+def rating_correlation_topk(ratings, k: int, entity: str = "user",
+                            kind: str = "pearson", shrinkage: float = 0.0,
+                            chunk: int = 4096):
+    """Per-row top-k Pearson/RatingCosine without materializing [N, N]
+    (scale path of ``rating_correlation``)."""
+    if entity == "user":
+        eids, fids = ratings.users, ratings.items
+        n, m = ratings.num_users, ratings.num_items
+    else:
+        eids, fids = ratings.items, ratings.users
+        n, m = ratings.num_items, ratings.num_users
+    k_eff = min(k, n - 1) if k >= 0 else n - 1
+    if k_eff <= 0:
+        return (np.zeros((n, 0), np.int32), np.zeros((n, 0), np.float32))
+    chunk = int(min(max(chunk, k_eff), n))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    centered = kind == "pearson"
+    values = np.asarray(ratings.values, dtype=np.float64)
+    eids = np.asarray(eids, dtype=np.int32)
+    fids = np.asarray(fids, dtype=np.int32)
+    # duplicate (entity, feature) pairs: keep the last occurrence, matching
+    # incidence_dense's numpy assignment (device scatter order is not
+    # deterministic for duplicates)
+    key = eids.astype(np.int64) * m + fids
+    _, idx_rev = np.unique(key[::-1], return_index=True)
+    sel = len(key) - 1 - idx_rev
+    eids, fids, values = eids[sel], fids[sel], values[sel]
+    lev = _quantize_levels(values, centered)
+    eids_d = jnp.asarray(eids)
+    fids_d = jnp.asarray(fids)
+    if lev is not None:
+        L = _device_incidence(eids_d, fids_d, jnp.asarray(lev),
+                              n_pad=n_pad, m=m)
+    else:
+        L = jnp.zeros((n_pad, m), jnp.float32).at[eids_d, fids_d].set(
+            jnp.asarray(values.astype(np.float32)), mode="drop")
+
+    def kernel(r0):
+        return _topk_chunk_rating(L, r0, jnp.float32(shrinkage),
+                                  centered=centered, k=k_eff, chunk=chunk,
+                                  n=n)
+
+    return _run_topk_chunks(kernel, n, chunk, k_eff)
+
+
 def nearest_neighbors(corr: np.ndarray, k: int) -> np.ndarray:
     """Per-row top-k neighbor ids by descending correlation, self excluded
     (reference Correlation/Extensions.GetNearestNeighbors :153-175).
@@ -157,7 +451,7 @@ def nearest_neighbors(corr: np.ndarray, k: int) -> np.ndarray:
     k_eff = min(k, n - 1) if k >= 0 else n - 1
     if k_eff <= 0:
         return np.zeros((n, 0), dtype=np.int32)
-    idx = np.argpartition(-c, k_eff - 1, axis=1)[:, :k_eff]
-    row = np.arange(n)[:, None]
-    order = np.lexsort((idx, -c[row, idx]), axis=1)
-    return idx[row, order].astype(np.int32)
+    # stable sort so boundary ties resolve to ascending id, like the
+    # streaming top-k kernels (argpartition would pick an arbitrary
+    # subset of tied boundary entries)
+    return np.argsort(-c, axis=1, kind="stable")[:, :k_eff].astype(np.int32)

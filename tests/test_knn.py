@@ -228,3 +228,175 @@ class TestSimilarityProviders:
         # users 0 and 1 agree perfectly -> most similar
         assert m.get_user_similarity(0, 1) > m.get_user_similarity(0, 2)
         assert m.get_most_similar_users(0, 1)[0] == 1
+
+
+class TestStreamingTopK:
+    """The scale path (binary_correlation_topk / rating_correlation_topk):
+    tiled device computation with running per-row top-k must reproduce
+    the dense path's neighbor values and (up to ties) ids, for every
+    measure and chunk size (reference Overlap.cs:26-80 semantics at
+    shapes where [N, N] is impossible)."""
+
+    @staticmethod
+    def _dense_topk(corr, k):
+        ids = corr_ops.nearest_neighbors(corr, k)
+        return ids, corr[np.arange(corr.shape[0])[:, None], ids]
+
+    @staticmethod
+    def _check(ids_t, vals_t, ids_d, vals_d, atol):
+        np.testing.assert_allclose(vals_t, vals_d, atol=atol)
+        diff = ids_t != ids_d
+        if diff.any():  # ids may differ only where the values tie
+            assert np.allclose(vals_t[diff], vals_d[diff], atol=atol)
+
+    @pytest.fixture(scope="class")
+    def coo(self):
+        rng = np.random.default_rng(7)
+        n, m, nnz = 157, 83, 2500
+        return View(rng.integers(0, n, nnz), rng.integers(0, m, nnz)), n, m
+
+    @pytest.mark.parametrize("kind", ["cosine", "jaccard",
+                                      "conditional_probability",
+                                      "bidirectional_conditional_probability",
+                                      "cooccurrence"])
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_binary_matches_dense(self, coo, kind, weighted):
+        d, n, m = coo
+        dense = corr_ops.binary_correlation(d, n, m, kind=kind, alpha=0.3,
+                                            weighted=weighted)
+        for k in (5, 40):
+            ids_d, vals_d = self._dense_topk(dense, k)
+            for chunk in (32, 157):
+                ids_t, vals_t = corr_ops.binary_correlation_topk(
+                    d, n, m, k, kind=kind, alpha=0.3, weighted=weighted,
+                    chunk=chunk)
+                self._check(ids_t, vals_t, ids_d, vals_d, 2e-5)
+
+    @pytest.mark.parametrize("kind", ["pearson", "cosine"])
+    @pytest.mark.parametrize("entity", ["user", "item"])
+    def test_rating_matches_dense(self, coo, kind, entity):
+        d, n, m = coo
+        rng = np.random.default_rng(8)
+        vals = rng.choice([1.0, 1.5, 2, 2.5, 3, 3.5, 4, 4.5, 5],
+                          d.users.size)
+        r = RatingData(d.users, d.items, vals)
+        # scale is equally spaced -> exact int8 level path
+        assert corr_ops._quantize_levels(vals, kind == "pearson") is not None
+        dense = corr_ops.rating_correlation(r, entity=entity, kind=kind,
+                                            shrinkage=5.0)
+        ids_d, vals_d = self._dense_topk(dense, 10)
+        for chunk in (48, dense.shape[0]):
+            ids_t, vals_t = corr_ops.rating_correlation_topk(
+                r, 10, entity=entity, kind=kind, shrinkage=5.0, chunk=chunk)
+            self._check(ids_t, vals_t, ids_d, vals_d, 3e-5)
+
+    def test_rating_f32_fallback(self, coo):
+        """Continuous values can't be level-encoded -> float32 tiles
+        (approximate to fp-summation-order)."""
+        d, n, m = coo
+        rng = np.random.default_rng(9)
+        vals = rng.normal(3.0, 1.0, d.users.size)
+        r = RatingData(d.users, d.items, vals)
+        assert corr_ops._quantize_levels(vals, True) is None
+        dense = corr_ops.rating_correlation(r, entity="user", kind="pearson")
+        ids_d, vals_d = self._dense_topk(dense, 10)
+        ids_t, vals_t = corr_ops.rating_correlation_topk(
+            r, 10, entity="user", kind="pearson", chunk=64)
+        self._check(ids_t, vals_t, ids_d, vals_d, 1e-3)
+
+
+class TestTopKModelMode:
+    """KNN models above DENSE_NMAX entities: top-k storage, sparse
+    scoring, save/load. Forced here by shrinking the threshold."""
+
+    @pytest.fixture()
+    def small_limit(self, monkeypatch):
+        monkeypatch.setattr(corr_ops, "DENSE_NMAX", 8)
+
+    @staticmethod
+    def _implicit_data():
+        rng = np.random.default_rng(11)
+        return PosOnlyData(rng.integers(0, 60, 700), rng.integers(0, 45, 700))
+
+    @staticmethod
+    def _rating_data():
+        rng = np.random.default_rng(12)
+        return RatingData(rng.integers(0, 60, 900), rng.integers(0, 45, 900),
+                          rng.choice([1.0, 2, 3, 4, 5], 900))
+
+    @pytest.mark.parametrize("name", ["UserKNN", "ItemKNN"])
+    def test_implicit_scores_match_dense(self, name, small_limit):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        fb = self._implicit_data()
+        m_sparse = create_item_recommender(name)
+        m_sparse.feedback = fb
+        m_sparse.k = 12
+        m_sparse.train()
+        assert m_sparse.is_topk
+        corr_ops.DENSE_NMAX = 16_384
+        m_dense = create_item_recommender(name)
+        m_dense.feedback = fb
+        m_dense.k = 12
+        m_dense.train()
+        assert not m_dense.is_topk
+        users = np.arange(20)
+        np.testing.assert_allclose(m_sparse.score_catalog(users),
+                                   m_dense.score_catalog(users), atol=2e-5)
+
+    @pytest.mark.parametrize("name", ["UserKNN", "ItemKNN"])
+    def test_rating_predictions_match_dense(self, name, small_limit):
+        from mymedialite_tpu.models.registry import create_rating_predictor
+        data = self._rating_data()
+        m_sparse = create_rating_predictor(name)
+        m_sparse.ratings = data
+        m_sparse.k = 20       # k_store = 60 >= N-1: truncation-free
+        m_sparse.train()
+        assert m_sparse.is_topk
+        corr_ops.DENSE_NMAX = 16_384
+        m_dense = create_rating_predictor(name)
+        m_dense.ratings = data
+        m_dense.k = 20
+        m_dense.train()
+        users = np.arange(30) % 60
+        items = (np.arange(30) * 7) % 45
+        np.testing.assert_allclose(m_sparse.predict_batch(users, items),
+                                   m_dense.predict_batch(users, items),
+                                   atol=2e-5)
+
+    def test_topk_save_load_roundtrip(self, small_limit, tmp_path):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        m = create_item_recommender("ItemKNN")
+        m.feedback = self._implicit_data()
+        m.k = 10
+        m.train()
+        assert m.is_topk
+        users = np.arange(15)
+        before = m.score_catalog(users)
+        path = str(tmp_path / "knn-topk.model")
+        m.save_model(path)
+        m2 = create_item_recommender("ItemKNN")
+        m2.feedback = self._implicit_data()
+        m2.k = 10
+        m2.load_model(path)
+        assert m2.is_topk
+        np.testing.assert_allclose(before, m2.score_catalog(users), atol=0)
+
+    def test_similarity_providers_topk(self, monkeypatch):
+        from mymedialite_tpu.models.registry import create_item_recommender
+        monkeypatch.setattr(corr_ops, "DENSE_NMAX", 2)
+        m = create_item_recommender("UserKNN")
+        m.feedback = PosOnlyData([0, 0, 1, 1, 2] * 4,
+                                 [0, 1, 0, 1, 0] * 4)
+        m.train()
+        assert m.is_topk
+        assert m.get_user_similarity(0, 1) > m.get_user_similarity(0, 2) > 0
+        assert list(m.get_most_similar_users(0, 2)) == [1, 2]
+
+    def test_sumup_rejected_at_scale(self, small_limit):
+        from mymedialite_tpu.models.knn import INF_K
+        from mymedialite_tpu.models.registry import create_item_recommender
+        m = create_item_recommender("UserKNN")
+        m.feedback = self._implicit_data()
+        m.k = INF_K
+        with pytest.raises(ValueError, match="SumUp"):
+            m.train()

@@ -207,6 +207,92 @@ class TestWRMF:
         neg = m.predict_batch(np.array([0, 1]), np.array([1, 0]))
         assert pos.mean() > neg.mean()
 
+    def test_bucketed_equals_rectangular(self, implicit_ml_like):
+        """The length-bucketed history layout (memory O(2*nnz)) must give
+        the same solves as one rectangular [U, Lmax] layout — every row's
+        system only involves its own history."""
+        import jax.numpy as jnp
+        from mymedialite_tpu.data.arrays import padded_history
+        from mymedialite_tpu.ops.als import pad_rows, wrmf_optimize
+        train, _ = implicit_ml_like
+        m = create_item_recommender("WRMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.init_model()
+        H0 = np.asarray(m.params["item_factors"]).copy()
+        m.iterate()
+        uh, ul = padded_history(train.by_user)
+        uh, ul, _ = pad_rows(uh, ul, 256)
+        expected = np.asarray(wrmf_optimize(
+            jnp.asarray(H0), jnp.asarray(uh), jnp.asarray(ul),
+            jnp.float32(m.alpha), jnp.float32(m.regularization),
+            chunk=256))[:train.num_users]
+        np.testing.assert_allclose(np.asarray(m.params["user_factors"]),
+                                   expected, atol=1e-5)
+
+    def test_one_giant_history_bounded(self):
+        """A single user with a huge history must not force every user's
+        padded row to that length (the bucketed layout isolates it)."""
+        rng = np.random.default_rng(3)
+        users = np.concatenate([rng.integers(0, 200, 2000),
+                                np.zeros(3000, np.int64)])
+        items = np.concatenate([rng.integers(0, 50, 2000),
+                                np.arange(3000) % 3500])
+        fb = PosOnlyData(users, items)
+        m = create_item_recommender("WRMF")
+        m.feedback = fb
+        m.num_factors = 4
+        m.num_iter = 2
+        m.train()
+        # the giant-history user lands alone in the top bucket
+        sizes = {len(rows): hist[0].shape[1]
+                 for rows, hist, _ in m._user_hist}
+        assert max(h for h in sizes.values()) >= 2048
+        small_bucket_rows = sum(r for r, h in sizes.items() if h <= 32)
+        assert small_bucket_rows >= 150
+        assert np.isfinite(m.predict(0, 0))
+
+    def test_incremental_retrains_only_touched_rows(self, implicit_ml_like):
+        """AddFeedback re-solves ONLY the touched user/item rows
+        (reference WRMF.RetrainUser/RetrainItem, WRMF.cs:158-172);
+        every other row must be bit-unchanged."""
+        train, _ = implicit_ml_like
+        m = create_item_recommender("WRMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.num_iter = 3
+        m.update_users = True
+        m.update_items = True
+        m.train()
+        W0 = np.asarray(m.params["user_factors"]).copy()
+        H0 = np.asarray(m.params["item_factors"]).copy()
+        u, i = 5, 7
+        m.add_feedback([u], [i])
+        W1 = np.asarray(m.params["user_factors"])
+        H1 = np.asarray(m.params["item_factors"])
+        assert not np.array_equal(W1[u], W0[u])          # touched row moved
+        mask_u = np.ones(W0.shape[0], bool)
+        mask_u[u] = False
+        np.testing.assert_array_equal(W1[mask_u], W0[mask_u])
+        mask_i = np.ones(H0.shape[0], bool)
+        mask_i[i] = False
+        np.testing.assert_array_equal(H1[mask_i], H0[mask_i])
+
+    def test_update_flags_default_off(self):
+        """Reference IncrementalItemRecommender: UpdateUsers/UpdateItems
+        default to false for WRMF — AddFeedback records the event but
+        retrains nothing."""
+        train = small_feedback()
+        m = create_item_recommender("WRMF")
+        m.feedback = train
+        m.num_factors = 4
+        m.num_iter = 3
+        m.train()
+        W0 = np.asarray(m.params["user_factors"]).copy()
+        m.add_feedback([0], [1])
+        np.testing.assert_array_equal(
+            np.asarray(m.params["user_factors"]), W0)
+
 
 class TestShardedBPR:
     """MultiCoreBPRMF's mesh-sharded epoch (ops/bpr.py bpr_epoch_sharded):
