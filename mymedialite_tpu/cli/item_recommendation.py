@@ -191,6 +191,15 @@ def main(argv=None):
             test_users = np.sort(rng.choice(pool, size=args.num_test_users,
                                             replace=False))
 
+    if training_data is not None:
+        # reference ItemRecommendation.cs:193 — dataset statistics go to
+        # stdout after splitting, before any training output
+        from mymedialite_tpu.data.statistics import posonly_statistics
+        print(posonly_statistics(
+            training_data, test_data,
+            getattr(recommender, "user_attributes", None),
+            getattr(recommender, "item_attributes", None)), end="")
+
     if args.cross_validation > 1:
         print(str(recommender))
         if args.find_iter > 0:

@@ -118,6 +118,10 @@ def main(argv=None):
 
     recommender.ratings = training_data
 
+    # dataset statistics block (format: Data/Extensions.cs:34-81)
+    from mymedialite_tpu.data.statistics import ratings_statistics
+    print(ratings_statistics(training_data, test_data), end="")
+
     if args.cross_validation > 1:
         if args.find_iter > 0:
             # reference RatingBasedRanking.CheckParameters :64-65

@@ -180,6 +180,15 @@ def main(argv=None):
             training_data, test_data = chronological_split_time(
                 training_data, _parse_time(args.chronological_split))
 
+    if training_data is not None:
+        # reference RatingPrediction.cs:200 — dataset statistics go to
+        # stdout after splitting, before any training output
+        from mymedialite_tpu.data.statistics import ratings_statistics
+        print(ratings_statistics(
+            training_data, test_data,
+            getattr(recommender, "user_attributes", None),
+            getattr(recommender, "item_attributes", None)), end="")
+
     if args.cross_validation > 1:
         print(str(recommender))
         if args.find_iter > 0:

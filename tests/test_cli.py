@@ -51,7 +51,14 @@ class TestRatingPredictionCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "RMSE" in out and "MAE" in out and "CBD" in out
-        assert out.startswith("UserItemBaseline ")
+        # dataset statistics precede the recommender line on stdout
+        # (reference RatingPrediction.cs:200, Data/Extensions.cs:34-81)
+        assert out.startswith("training data: ")
+        assert re.search(r"training data: \d+ users, \d+ items, \d+ ratings,"
+                         r" sparsity \d+(\.\d+)?\n", out)
+        assert re.search(r"test data: +\d+ users, \d+ items, \d+ ratings,"
+                         r" sparsity \d+(\.\d+)?\n", out)
+        assert "\nUserItemBaseline " in out
 
     def test_find_iter(self, capsys):
         rc = rating_prediction.main([
