@@ -2,12 +2,16 @@
 
 Counterparts of reference ``Eval/RatingsCrossValidation.cs:36-148`` and
 ``Eval/ItemsCrossValidation.cs:39-127``: k-fold split, per-fold
-clone+train+evaluate, fold-averaged results. The reference parallelizes
-folds with Parallel.For; here folds run sequentially (each fold's
-training already saturates the chip).
+clone+train+evaluate, fold-averaged results. Folds run concurrently on
+host threads (the reference's ``Parallel.ForEach`` over folds,
+``RatingsCrossValidation.cs:41``): each fold owns an independent model,
+so one fold's host-side prep overlaps the other folds' device work;
+fold results print in fold order after completion.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -40,23 +44,44 @@ def set_additional_feedback(model, test):
         model.additional_feedback = (test.users, test.items)
 
 
+def run_folds(jobs, parallel: bool = True):
+    """Run per-fold closures concurrently (reference ``Parallel.ForEach``
+    over CV folds, RatingsCrossValidation.cs:41-68); results in fold
+    order. Set parallel=False (or MML_SEQUENTIAL_CV=1) for sequential."""
+    if os.environ.get("MML_SEQUENTIAL_CV"):
+        parallel = False
+    if not parallel or len(jobs) <= 1:
+        return [job() for job in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+    workers = min(len(jobs), os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return [f.result() for f in [ex.submit(job) for job in jobs]]
+
+
 def crossvalidate_ratings(recommender, ratings, num_folds: int = 5,
                           compute_fit: bool = False, shuffle: bool = False,
-                          rng=None, show_results: bool = False):
+                          rng=None, show_results: bool = False,
+                          parallel: bool = True):
     folds = crossvalidation_split(ratings, num_folds, shuffle, rng)
-    fold_results = []
-    for f, (train, test) in enumerate(folds):
-        model = clone_recommender(recommender)
-        model.ratings = train
-        set_additional_feedback(model, test)
-        model.train()
-        res = evaluate_ratings(model, test)
-        if compute_fit:
-            from mymedialite_tpu.eval.rating import compute_fit as _fit
-            res["fit"] = _fit(model)
-        if show_results:
+
+    def fold_job(train, test):
+        def job():
+            model = clone_recommender(recommender)
+            model.ratings = train
+            set_additional_feedback(model, test)
+            model.train()
+            res = evaluate_ratings(model, test)
+            if compute_fit:
+                from mymedialite_tpu.eval.rating import compute_fit as _fit
+                res["fit"] = _fit(model)
+            return res
+        return job
+
+    fold_results = run_folds([fold_job(train, test)
+                              for train, test in folds], parallel)
+    if show_results:
+        for f, res in enumerate(fold_results):
             print(f"fold {f} {res}")
-        fold_results.append(res)
     return RatingPredictionResults.average(fold_results)
 
 
@@ -64,19 +89,24 @@ def crossvalidate_items(recommender, feedback, num_folds: int = 5,
                         test_users=None, candidate_items=None,
                         candidate_item_mode: str = "OVERLAP",
                         shuffle: bool = False, rng=None,
-                        show_results: bool = False):
+                        show_results: bool = False, parallel: bool = True):
     folds = crossvalidation_split(feedback, num_folds, shuffle, rng)
-    fold_results = []
-    for f, (train, test) in enumerate(folds):
-        model = clone_recommender(recommender)
-        model.feedback = train
-        model.train()
-        res = evaluate_items(model, test, train, test_users=test_users,
-                             candidate_items=candidate_items,
-                             candidate_item_mode=candidate_item_mode)
-        if show_results:
+
+    def fold_job(train, test):
+        def job():
+            model = clone_recommender(recommender)
+            model.feedback = train
+            model.train()
+            return evaluate_items(model, test, train, test_users=test_users,
+                                  candidate_items=candidate_items,
+                                  candidate_item_mode=candidate_item_mode)
+        return job
+
+    fold_results = run_folds([fold_job(train, test)
+                              for train, test in folds], parallel)
+    if show_results:
+        for f, res in enumerate(fold_results):
             print(f"fold {f} {res}")
-        fold_results.append(res)
     return ItemRecommendationResults.average(fold_results)
 
 
@@ -85,7 +115,8 @@ def crossvalidate_rating_based_ranking(recommender, ratings,
                                        candidate_items=None,
                                        candidate_item_mode: str = "UNION",
                                        shuffle: bool = False, rng=None,
-                                       show_results: bool = False):
+                                       show_results: bool = False,
+                                       parallel: bool = True):
     """Reference Eval/RatingBasedRankingCrossValidation.cs: k-fold over the
     rating data, each fold trains the rating predictor and evaluates it
     with the item-recommendation protocol."""
@@ -96,17 +127,22 @@ def crossvalidate_rating_based_ranking(recommender, ratings,
                            num_items=data.num_items)
 
     folds = crossvalidation_split(ratings, num_folds, shuffle, rng)
-    fold_results = []
-    for f, (train, test) in enumerate(folds):
-        model = clone_recommender(recommender)
-        model.ratings = train
-        model.train()
-        res = evaluate_items(model, posonly(test), posonly(train),
-                             candidate_items=candidate_items,
-                             candidate_item_mode=candidate_item_mode)
-        if show_results:
+
+    def fold_job(train, test):
+        def job():
+            model = clone_recommender(recommender)
+            model.ratings = train
+            model.train()
+            return evaluate_items(model, posonly(test), posonly(train),
+                                  candidate_items=candidate_items,
+                                  candidate_item_mode=candidate_item_mode)
+        return job
+
+    fold_results = run_folds([fold_job(train, test)
+                              for train, test in folds], parallel)
+    if show_results:
+        for f, res in enumerate(fold_results):
             print(f"fold {f} {res}")
-        fold_results.append(res)
     return ItemRecommendationResults.average(fold_results)
 
 
@@ -121,30 +157,42 @@ def iterative_crossvalidate_ratings(recommender, ratings, num_folds: int,
     import sys
 
     folds = crossvalidation_split(ratings, num_folds, shuffle, rng)
-    models, tests, fold_results = [], [], []
-    for f, (train, test) in enumerate(folds):
-        model = clone_recommender(recommender)
-        model.ratings = train
-        set_additional_feedback(model, test)
-        model.train()
-        res = evaluate_ratings(model, test)
-        if show_fold_results:
-            print(f"fold {f} {res} iteration {model.num_iter}",
+    tests = [test for _, test in folds]
+
+    def setup_job(train, test):
+        def job():
+            model = clone_recommender(recommender)
+            model.ratings = train
+            set_additional_feedback(model, test)
+            model.train()
+            return model, evaluate_ratings(model, test)
+        return job
+
+    outs = run_folds([setup_job(train, test) for train, test in folds])
+    models = [m for m, _ in outs]
+    fold_results = [r for _, r in outs]
+    if show_fold_results:
+        for f, res in enumerate(fold_results):
+            print(f"fold {f} {res} iteration {models[0].num_iter}",
                   file=sys.stderr)
-        models.append(model)
-        tests.append(test)
-        fold_results.append(res)
     print(f"{RatingPredictionResults.average(fold_results)} "
           f"iteration {models[0].num_iter}")
 
-    for it in range(models[0].num_iter + 1, max_iter + 1):
-        for f, model in enumerate(models):
+    def iter_job(model, test, evaluate):
+        def job():
             model.iterate()
-            if it % find_iter == 0:
-                fold_results[f] = evaluate_ratings(model, tests[f])
+            return evaluate_ratings(model, test) if evaluate else None
+        return job
+
+    for it in range(models[0].num_iter + 1, max_iter + 1):
+        ev = it % find_iter == 0
+        outs = run_folds([iter_job(m, t, ev)
+                          for m, t in zip(models, tests)])
+        for f, res in enumerate(outs):
+            if res is not None:
+                fold_results[f] = res
                 if show_fold_results:
-                    print(f"fold {f} {fold_results[f]} iteration {it}",
-                          file=sys.stderr)
+                    print(f"fold {f} {res} iteration {it}", file=sys.stderr)
         print(f"{RatingPredictionResults.average(fold_results)} "
               f"iteration {it}")
     return RatingPredictionResults.average(fold_results)
@@ -161,35 +209,47 @@ def iterative_crossvalidate_items(recommender, feedback, num_folds: int,
     import sys
 
     folds = crossvalidation_split(feedback, num_folds, shuffle, rng)
-    models, tests, trains, fold_results = [], [], [], []
-    for f, (train, test) in enumerate(folds):
-        model = clone_recommender(recommender)
-        model.feedback = train
-        model.train()
-        res = evaluate_items(model, test, train, test_users=test_users,
-                             candidate_items=candidate_items,
-                             candidate_item_mode=candidate_item_mode)
-        if show_fold_results:
-            print(f"fold {f} {res} iteration {model.num_iter}",
+    trains = [train for train, _ in folds]
+    tests = [test for _, test in folds]
+
+    def eval_fold(model, test, train):
+        return evaluate_items(model, test, train, test_users=test_users,
+                              candidate_items=candidate_items,
+                              candidate_item_mode=candidate_item_mode)
+
+    def setup_job(train, test):
+        def job():
+            model = clone_recommender(recommender)
+            model.feedback = train
+            model.train()
+            return model, eval_fold(model, test, train)
+        return job
+
+    outs = run_folds([setup_job(train, test) for train, test in folds])
+    models = [m for m, _ in outs]
+    fold_results = [r for _, r in outs]
+    if show_fold_results:
+        for f, res in enumerate(fold_results):
+            print(f"fold {f} {res} iteration {models[0].num_iter}",
                   file=sys.stderr)
-        models.append(model)
-        tests.append(test)
-        trains.append(train)
-        fold_results.append(res)
     print(f"{ItemRecommendationResults.average(fold_results)} "
           f"iteration {models[0].num_iter}")
 
-    for it in range(models[0].num_iter + 1, max_iter + 1):
-        for f, model in enumerate(models):
+    def iter_job(model, test, train, evaluate):
+        def job():
             model.iterate()
-            if it % find_iter == 0:
-                fold_results[f] = evaluate_items(
-                    model, tests[f], trains[f], test_users=test_users,
-                    candidate_items=candidate_items,
-                    candidate_item_mode=candidate_item_mode)
+            return eval_fold(model, test, train) if evaluate else None
+        return job
+
+    for it in range(models[0].num_iter + 1, max_iter + 1):
+        ev = it % find_iter == 0
+        outs = run_folds([iter_job(m, te, tr, ev)
+                          for m, te, tr in zip(models, tests, trains)])
+        for f, res in enumerate(outs):
+            if res is not None:
+                fold_results[f] = res
                 if show_fold_results:
-                    print(f"fold {f} {fold_results[f]} iteration {it}",
-                          file=sys.stderr)
+                    print(f"fold {f} {res} iteration {it}", file=sys.stderr)
         print(f"{ItemRecommendationResults.average(fold_results)} "
               f"iteration {it}")
     return ItemRecommendationResults.average(fold_results)

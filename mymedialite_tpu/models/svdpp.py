@@ -72,6 +72,7 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
 
     SIGMOID = False
     USE_P = True
+    SHARDABLE = True  # mesh-sharded epochs (ops/svdpp.py svdpp_epoch_sharded)
 
     def __init__(self):
         super().__init__()
@@ -145,12 +146,25 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
         g = int(2 ** np.floor(np.log2(max(budget / avg, 64.0))))
         return min(g, 16_384, max(num_users, 1))
 
+    def _setup_mesh(self):
+        """Shard the user-group axis over the mesh when more than one
+        device is available (reference SVDPlusPlus under the DSGD
+        schedule of MultiCore.cs:43-73)."""
+        if not self.SHARDABLE:
+            return None
+        if len(jax.devices()) <= 1:
+            return None
+        from mymedialite_tpu.parallel.mesh import make_mesh
+        return make_mesh()
+
     def _prepare(self):
         hu, hi = self._history_edges()
         U, I = self._num_users(), self._num_items()
         G = self._auto_group_users(U)
+        self._mesh = self._setup_mesh()
+        pad_mult = self._mesh.devices.size if self._mesh is not None else 1
         self._data, meta = svdpp_ops.prepare_groups(
-            self.ratings, hu, hi, U, I, G)
+            self.ratings, hu, hi, U, I, G, pad_groups_multiple=pad_mult)
         self._meta = meta
         self.num_users_trained = U
         self.num_items_trained = I
@@ -229,14 +243,53 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
 
     def iterate(self):
         self._user_factors_cache = None
-        self.params = svdpp_ops.svdpp_epoch(
-            self.params, self._data, self._hp(),
-            group_users=self._meta["group_users"],
-            ngroups=self._meta["ngroups"],
-            loss=_LOSS_ID[self.loss], sigmoid=self.SIGMOID,
-            use_p=self.USE_P, update_user=self.update_users,
-            update_item=self.update_items)
+        if getattr(self, "_mesh", None) is not None:
+            self._iterate_sharded()
+        else:
+            self.params = svdpp_ops.svdpp_epoch(
+                self.params, self._data, self._hp(),
+                group_users=self._meta["group_users"],
+                ngroups=self._meta["ngroups"],
+                loss=_LOSS_ID[self.loss], sigmoid=self.SIGMOID,
+                use_p=self.USE_P, update_user=self.update_users,
+                update_item=self.update_items)
         self.current_learnrate *= self.learn_rate_decay
+
+    def _iterate_sharded(self):
+        """Mesh-sharded epoch: user slabs row-sharded over 'data', item
+        tables replicated with per-group psum of deltas."""
+        from mymedialite_tpu.parallel.mesh import (
+            replicated, row_sharded, row_sharded_2d,
+        )
+        mesh = self._mesh
+        rep = replicated(mesh)
+        sh1, sh2 = row_sharded(mesh), row_sharded_2d(mesh)
+        p = self.params
+        params = dict(global_bias=jax.device_put(p["global_bias"], rep),
+                      user_bias=jax.device_put(p["user_bias"], sh1),
+                      item_bias=jax.device_put(p["item_bias"], rep),
+                      item_factors=jax.device_put(p["item_factors"], rep),
+                      y=jax.device_put(p["y"], rep))
+        if self.USE_P:
+            params["p"] = jax.device_put(p["p"], sh2)
+        data = {k: jax.device_put(self._data[k], sh2)
+                for k in ("r_user", "r_item", "r_value", "r_mask",
+                          "e_user", "e_item", "e_mask")}
+        data["inv_sqrt_hist"] = jax.device_put(
+            self._data["inv_sqrt_hist"], sh1)
+        hp = dict(self._hp())
+        hp["user_reg"] = jax.device_put(hp["user_reg"], sh1)
+        hp["item_reg"] = jax.device_put(hp["item_reg"], rep)
+        hp["y_reg"] = jax.device_put(hp["y_reg"], rep)
+        out = svdpp_ops.svdpp_epoch_sharded(
+            mesh, params, data, hp,
+            group_users=self._meta["group_users"],
+            ngroups=self._meta["ngroups"], loss=_LOSS_ID[self.loss],
+            sigmoid=self.SIGMOID, use_p=self.USE_P,
+            update_user=self.update_users, update_item=self.update_items)
+        # pull back to single-device arrays for the prediction paths
+        self.params = {k: jnp.asarray(np.asarray(v))
+                       for k, v in out.items()}
 
     # --- prediction (lazy PrecomputeUserFactors, SVDPlusPlus.cs:216-226) ---
 
@@ -536,6 +589,7 @@ class GSVDPlusPlus(SVDPlusPlus):
     attribute factors x_a."""
 
     REQUIRED_SIDE_INFO = ("item_attributes",)
+    SHARDABLE = False  # attribute-factor updates stay single-device
 
     def __init__(self):
         super().__init__()
