@@ -22,29 +22,66 @@ from mymedialite_tpu.eval.results import (
 def evaluate_ratings_online(recommender, test, rng=None
                             ) -> RatingPredictionResults:
     """Reference RatingsOnline.EvaluateOnline: iterate test ratings in
-    random order; predict, accumulate RMSE/MAE/CBD, then AddRatings."""
+    random order; predict, accumulate RMSE/MAE/CBD, then AddRatings.
+
+    Fast path (protocol-exact): models that declare
+    ``ONLINE_PREDICT_ROW_LOCAL`` (prediction for (u, i) reads only u's
+    and i's rows) get *chunked* predictions — events are batched into
+    one predict_batch call until an event's user or item collides with
+    a row already updated inside the chunk, at which point the chunk is
+    flushed. Updates themselves stay strictly in event order. Models
+    that support it additionally run in buffered-update mode
+    (begin/end_online_updates): events append to O(1) host buffers and
+    fold into the immutable dataset once at the end."""
     if not hasattr(recommender, "add_ratings"):
         raise TypeError("recommender must support incremental updates")
     rng = rng or np.random.default_rng(getattr(recommender, "random_seed", 42))
     order = rng.permutation(len(test))
-    se = ae = cbd = 0.0
-    lo, hi = recommender.min_rating, recommender.max_rating
-    for index in order:
-        u = int(test.users[index])
-        i = int(test.items[index])
-        actual = float(test.values[index])
-        pred = recommender.predict(u, i)
-        err = pred - actual
-        se += err * err
-        ae += abs(err)
-        cbd += float(compute_cbd(actual, pred, lo, hi))
-        recommender.add_ratings([u], [i], [actual])
+    users = np.asarray(test.users, dtype=np.int32)[order]
+    items = np.asarray(test.items, dtype=np.int32)[order]
+    values = np.asarray(test.values, dtype=np.float32)[order]
     n = len(test)
+    lo, hi = recommender.min_rating, recommender.max_rating
+
+    begin = getattr(recommender, "begin_online_updates", None)
+    buffered = bool(begin()) if begin is not None else False
+    preds = np.empty(n, dtype=np.float64)
+
+    if getattr(recommender, "ONLINE_PREDICT_ROW_LOCAL", False):
+        # chunk boundaries: first same-user or same-item repeat
+        touched_u, touched_i = set(), set()
+        start = 0
+        bounds = []
+        for t in range(n):
+            u, i = int(users[t]), int(items[t])
+            if u in touched_u or i in touched_i:
+                bounds.append((start, t))
+                start = t
+                touched_u.clear()
+                touched_i.clear()
+            touched_u.add(u)
+            touched_i.add(i)
+        bounds.append((start, n))
+        for a, b in bounds:
+            preds[a:b] = recommender.predict_batch(users[a:b], items[a:b])
+            for t in range(a, b):
+                recommender.add_ratings([int(users[t])], [int(items[t])],
+                                        [float(values[t])])
+    else:
+        for t in range(n):
+            u, i = int(users[t]), int(items[t])
+            preds[t] = recommender.predict(u, i)
+            recommender.add_ratings([u], [i], [float(values[t])])
+
+    if buffered:
+        recommender.end_online_updates()
+
+    err = preds - values
     result = RatingPredictionResults()
-    result["RMSE"] = np.sqrt(se / n)
-    result["MAE"] = ae / n
-    result["NMAE"] = (ae / n) / (hi - lo)
-    result["CBD"] = cbd / n
+    result["RMSE"] = float(np.sqrt(np.mean(err * err)))
+    result["MAE"] = float(np.mean(np.abs(err)))
+    result["NMAE"] = result["MAE"] / (hi - lo)
+    result["CBD"] = float(np.mean(compute_cbd(values, preds, lo, hi)))
     return result
 
 

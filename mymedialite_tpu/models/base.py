@@ -161,12 +161,104 @@ class IncrementalRatingPredictor(RatingPredictor):
     """Online updates for explicit feedback
     (reference IncrementalRatingPredictor.cs:24-108)."""
 
+    # Models whose _retrain reads per-entity histories through
+    # _rated_by_user/_rated_by_item (rather than self.ratings directly)
+    # can run prequential eval in buffered mode: events append to O(1)
+    # host buffers and fold into the immutable dataset once at the end,
+    # instead of rebuilding the COO arrays + CSR sort per event.
+    SUPPORTS_ONLINE_BUFFER = False
+    # Prediction for (u, i) reads only u's and i's rows (true for the MF
+    # family) — lets the online evaluator batch predictions between
+    # touched-row collisions without changing the protocol's results.
+    ONLINE_PREDICT_ROW_LOCAL = False
+
     def __init__(self):
         super().__init__()
         self.update_users = True
         self.update_items = True
+        self._online_active = False
+
+    def begin_online_updates(self) -> bool:
+        """Enter buffered prequential-update mode (eval/online.py).
+        Returns False (and stays in the per-event path) for models whose
+        _retrain reads the full dataset."""
+        if not self.SUPPORTS_ONLINE_BUFFER:
+            return False
+        self._online_user_hist = {}
+        self._online_item_hist = {}
+        self._online_events = ([], [], [])
+        self._online_active = True
+        return True
+
+    def end_online_updates(self) -> None:
+        """Fold the buffered events into the dataset (one array rebuild)."""
+        if not self._online_active:
+            return
+        self._online_active = False
+        ue, ie, ve = self._online_events
+        if ue:
+            self.ratings = self.ratings.add(ue, ie, ve)
+        self._online_user_hist = None
+        self._online_item_hist = None
+        self._online_events = None
+        self._online_flush()
+
+    def _online_flush(self) -> None:
+        """Hook: invalidate per-model epoch caches after events fold in."""
+
+    def _rated_by_user(self, u: int):
+        """(items, values) rated by u — base dataset plus any buffered
+        online events (reference DataSet.ByUser view)."""
+        data = self.ratings
+        if 0 <= u < data.num_users:
+            idx = data.by_user.segment(u)
+            items, vals = data.items[idx], data.values[idx]
+        else:
+            items = np.array([], dtype=np.int32)
+            vals = np.array([], dtype=np.float32)
+        if self._online_active:
+            hist = self._online_user_hist.get(u)
+            if hist:
+                items = np.concatenate(
+                    [items, np.asarray(hist[0], dtype=np.int32)])
+                vals = np.concatenate(
+                    [vals, np.asarray(hist[1], dtype=np.float32)])
+        return items, vals
+
+    def _rated_by_item(self, i: int):
+        """(users, values) who rated i — base dataset plus buffered events."""
+        data = self.ratings
+        if 0 <= i < data.num_items:
+            idx = data.by_item.segment(i)
+            users, vals = data.users[idx], data.values[idx]
+        else:
+            users = np.array([], dtype=np.int32)
+            vals = np.array([], dtype=np.float32)
+        if self._online_active:
+            hist = self._online_item_hist.get(i)
+            if hist:
+                users = np.concatenate(
+                    [users, np.asarray(hist[0], dtype=np.int32)])
+                vals = np.concatenate(
+                    [vals, np.asarray(hist[1], dtype=np.float32)])
+        return users, vals
 
     def add_ratings(self, users, items, values) -> None:
+        if self._online_active:
+            ue, ie, ve = self._online_events
+            for u, i, v in zip(users, items, values):
+                u, i, v = int(u), int(i), float(v)
+                ue.append(u)
+                ie.append(i)
+                ve.append(v)
+                self._online_user_hist.setdefault(u, ([], []))
+                self._online_user_hist[u][0].append(i)
+                self._online_user_hist[u][1].append(v)
+                self._online_item_hist.setdefault(i, ([], []))
+                self._online_item_hist[i][0].append(u)
+                self._online_item_hist[i][1].append(v)
+            self._retrain(users, items)
+            return
         self.ratings = self.ratings.add(users, items, values)
         self._retrain(users, items)
 

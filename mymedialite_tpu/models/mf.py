@@ -19,6 +19,7 @@ parallelism comes from XLA + (multi-chip) sharding.
 from __future__ import annotations
 
 import enum
+import functools
 import math
 
 import jax
@@ -86,6 +87,11 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     }
 
     BIASED = False
+    # _retrain reads histories via _rated_by_user/_rated_by_item and
+    # prediction touches only rows (u, i): buffered prequential eval and
+    # chunked predict batching are exact (eval/online.py)
+    SUPPORTS_ONLINE_BUFFER = True
+    ONLINE_PREDICT_ROW_LOCAL = True
 
     def __init__(self):
         super().__init__()
@@ -106,6 +112,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.global_bias = 0.0
         self.current_learnrate = None
         self._blocked = None
+        self._bmeta = None
         self._flat_cache = None
         self._key = None
 
@@ -152,6 +159,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         data = self.ratings
         key = jax.random.PRNGKey(self.random_seed)
         self._key, ku, ki = jax.random.split(key, 3)
+        self._key_pool = None
         U, I, f = data.num_users, data.num_items, self.num_factors
         wu = self.init_mean + self.init_stdev * np.array(
             jax.random.normal(ku, (U, f), dtype=jnp.float32))
@@ -294,7 +302,21 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         return jnp.clip(score, self.min_rating, self.max_rating)
 
     def predict_batch(self, users, items):
-        return np.asarray(self._bound(self._scores(users, items)))
+        users = np.asarray(users, dtype=np.int32)
+        items = np.asarray(items, dtype=np.int32)
+        n = users.size
+        # pow2 padding bounds the number of compiled batch shapes
+        cap = max(8, 1 << max(n - 1, 0).bit_length())
+        if cap != n:
+            users = np.pad(users, (0, cap - n))
+            items = np.pad(items, (0, cap - n))
+        out = _predict_pairs(self.W_ext, self.H_ext,
+                             float(self.global_bias),
+                             float(self.min_rating),
+                             float(self.max_rating),
+                             users, items, self.num_users_trained,
+                             biased=self.BIASED, bound=self.BOUND)
+        return np.asarray(out)[:n]
 
     BOUND = "clip"  # BiasedMF overrides with "sigmoid"
 
@@ -324,7 +346,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         super().add_user(user_id)
         grow = user_id + 1 - self.W_ext.shape[0]
         if grow > 0:
-            G = self._bmeta["group_users"]
+            G = (self._bmeta or {}).get("group_users", self.group_users)
             grow = ((grow + G - 1) // G) * G
             fe = self.W_ext.shape[1]
             pad = np.zeros((grow, fe), np.float32)
@@ -343,7 +365,13 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def _retrain(self, users, items):
         if self.W_ext is None:
             return
-        self._prepare_epoch_data()
+        # invalidate the epoch layout lazily (_ensure_epoch_ready rebuilds
+        # on the next iterate()/compute_objective()) — re-blocking and
+        # re-shuffling the whole dataset per event would dominate
+        # prequential eval (reference AddRatings only touches rows,
+        # MatrixFactorization.cs:262-279)
+        self._blocked = None
+        self._flat_cache = None
         for u in np.unique(np.asarray(users, dtype=np.int64)):
             self.add_user(int(u))
             if self.update_users:
@@ -352,6 +380,22 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             self.add_item(int(i))
             if self.update_items:
                 self.retrain_item(int(i))
+
+    def _online_flush(self):
+        self._blocked = None
+        self._flat_cache = None
+
+    def _next_key(self):
+        """Per-retrain RNG keys, drawn from a 256-key pool refilled with
+        one bulk split (one eager dispatch per 256 events instead of one
+        split per event)."""
+        pool = getattr(self, "_key_pool", None)
+        if not pool:
+            keys = jax.random.split(self._key, 257)
+            host = np.asarray(keys)
+            self._key = keys[0]
+            self._key_pool = pool = [host[k] for k in range(256, 0, -1)]
+        return pool.pop()
 
     def _fresh_row(self, num_cols, bias_col):
         self._key, sub = jax.random.split(self._key)
@@ -364,51 +408,37 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def retrain_user(self, user_id):
         """Fresh row init + num_iter SGD passes over just this user's
         ratings, item side frozen (reference RetrainUser,
-        MatrixFactorization.cs:142-150)."""
+        MatrixFactorization.cs:142-150) — one fused jitted call."""
         fe = self.W_ext.shape[1]
-        self.W_ext = self.W_ext.at[user_id].set(self._fresh_row(fe, fe - 1))
-        idx = self.ratings.by_user.segment(user_id)
-        if idx.size == 0:
-            return
-        items = jnp.asarray(self.ratings.items[idx])
-        vals = jnp.asarray(self.ratings.values[idx])
-        H_rows = self.H_ext[items]
-        row = self.W_ext[user_id]
-        row = _learn_row(row, H_rows, vals, self.num_factors,
-                         self.num_iter, self.learn_rate,
-                         self.learn_rate_decay, self.reg_u,
-                         getattr(self, "bias_learn_rate", 1.0),
-                         getattr(self, "bias_reg", 0.0),
-                         jnp.float32(self.global_bias),
-                         jnp.float32(self.min_rating),
-                         jnp.float32(max(self.max_rating - self.min_rating,
-                                         1e-9)),
-                         biased=self.BIASED, loss=self.loss_id,
-                         frozen_col=fe - 1, bias_col=fe - 2)
-        self.W_ext = self.W_ext.at[user_id].set(row)
+        items, vals = self._rated_by_user(user_id)
+        idx, v, w = _pad_history(items, vals)
+        self.W_ext = _refresh_row(
+            self.W_ext, self.H_ext, user_id, self._next_key(),
+            self.init_mean, self.init_stdev, idx, v, w,
+            self.learn_rate, float(self.reg_u),
+            float(getattr(self, "bias_learn_rate", 1.0)),
+            float(getattr(self, "bias_reg", 0.0)),
+            float(self.global_bias), float(self.min_rating),
+            max(self.max_rating - self.min_rating, 1e-9),
+            num_iter=self.num_iter, decay=self.learn_rate_decay,
+            biased=self.BIASED, loss=self.loss_id,
+            frozen_col=fe - 1, bias_col=fe - 2)
 
     def retrain_item(self, item_id):
         fe = self.H_ext.shape[1]
-        self.H_ext = self.H_ext.at[item_id].set(self._fresh_row(fe, fe - 2))
-        idx = self.ratings.by_item.segment(item_id)
-        if idx.size == 0:
-            return
-        users = jnp.asarray(self.ratings.users[idx])
-        vals = jnp.asarray(self.ratings.values[idx])
-        W_rows = self.W_ext[users]
-        row = self.H_ext[item_id]
-        row = _learn_row(row, W_rows, vals, self.num_factors,
-                         self.num_iter, self.learn_rate,
-                         self.learn_rate_decay, self.reg_i,
-                         getattr(self, "bias_learn_rate", 1.0),
-                         getattr(self, "bias_reg", 0.0),
-                         jnp.float32(self.global_bias),
-                         jnp.float32(self.min_rating),
-                         jnp.float32(max(self.max_rating - self.min_rating,
-                                         1e-9)),
-                         biased=self.BIASED, loss=self.loss_id,
-                         frozen_col=fe - 2, bias_col=fe - 1)
-        self.H_ext = self.H_ext.at[item_id].set(row)
+        users, vals = self._rated_by_item(item_id)
+        idx, v, w = _pad_history(users, vals)
+        self.H_ext = _refresh_row(
+            self.H_ext, self.W_ext, item_id, self._next_key(),
+            self.init_mean, self.init_stdev, idx, v, w,
+            self.learn_rate, float(self.reg_i),
+            float(getattr(self, "bias_learn_rate", 1.0)),
+            float(getattr(self, "bias_reg", 0.0)),
+            float(self.global_bias), float(self.min_rating),
+            max(self.max_rating - self.min_rating, 1e-9),
+            num_iter=self.num_iter, decay=self.learn_rate_decay,
+            biased=self.BIASED, loss=self.loss_id,
+            frozen_col=fe - 2, bias_col=fe - 1)
 
     def remove_user(self, user_id):
         super().remove_user(user_id)
@@ -427,19 +457,22 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     # --- fold-in (reference MatrixFactorization.cs:326-352) ---
 
     def score_items_foldin(self, rated_items, candidates):
-        items = jnp.asarray([i for i, _ in rated_items], dtype=jnp.int32)
-        values = jnp.asarray([v for _, v in rated_items], dtype=jnp.float32)
+        items = np.asarray([i for i, _ in rated_items], dtype=np.int32)
+        values = np.asarray([v for _, v in rated_items], dtype=np.float32)
         fe = self.W_ext.shape[1]
         row = self._fresh_row(fe, fe - 1)
-        row = _learn_row(row, self.H_ext[items], values, self.num_factors,
-                         self.num_iter, self.learn_rate,
-                         self.learn_rate_decay, self.regularization,
-                         getattr(self, "bias_learn_rate", 1.0),
-                         getattr(self, "bias_reg", 0.0),
+        idx, v, w = _pad_history(items, values)
+        row = _learn_row(row, self.H_ext[idx], v, w,
+                         jnp.float32(self.learn_rate),
+                         jnp.float32(self.regularization),
+                         jnp.float32(getattr(self, "bias_learn_rate", 1.0)),
+                         jnp.float32(getattr(self, "bias_reg", 0.0)),
                          jnp.float32(self.global_bias),
                          jnp.float32(self.min_rating),
                          jnp.float32(max(self.max_rating - self.min_rating,
                                          1e-9)),
+                         num_iter=self.num_iter,
+                         decay=self.learn_rate_decay,
                          biased=self.BIASED, loss=self.loss_id,
                          frozen_col=fe - 1, bias_col=fe - 2)
         cand = jnp.asarray(list(candidates), dtype=jnp.int32)
@@ -472,6 +505,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             wu, hi, group_users=self.group_users)
         self.current_learnrate = self.learn_rate
         self._key = jax.random.PRNGKey(self.random_seed)
+        self._key_pool = None
         self._bmeta = dict(ngroups=self.W_ext.shape[0] // min(
             self.group_users, max(wu.shape[0], 1)),
             group_users=min(self.group_users, max(wu.shape[0], 1)),
@@ -483,22 +517,24 @@ def _sigmoid_pred(score, min_rating, rating_range):
     return min_rating + jax.nn.sigmoid(score) * rating_range
 
 
-def _learn_row(row, other_rows, values, num_factors, num_iter, learn_rate,
-               decay, reg, bias_lr, bias_reg, global_bias, min_rating,
-               rating_range, *, biased, loss, frozen_col, bias_col):
+def _learn_row_body(row, other_rows, values, weights, learn_rate, reg,
+                    bias_lr, bias_reg, global_bias, min_rating,
+                    rating_range, *, num_iter, decay, biased, loss,
+                    frozen_col, bias_col):
     """num_iter minibatch updates of a single fused row against frozen
     counterpart rows (reference LearnFactors on ByUser/ByItem lists +
-    FoldIn, MatrixFactorization.cs:142-160, 326-352)."""
-    f = num_factors
+    FoldIn, MatrixFactorization.cs:142-160, 326-352). Traced inside the
+    jitted wrappers below; callers pad histories to power-of-two buckets
+    (weights mask the padding) so executables are reused across history
+    lengths."""
     fe = row.shape[0]
-    lr_vec = np.full(fe, float(learn_rate), np.float32)
-    lr_vec[frozen_col] = 0.0
-    lr_vec[bias_col] = float(bias_lr) * float(learn_rate) if biased else 0.0
-    reg_vec = np.full(fe, float(reg), np.float32)
-    reg_vec[frozen_col] = 0.0
-    reg_vec[bias_col] = float(bias_reg) * float(reg) if biased else 0.0
-    lr_vec = jnp.asarray(lr_vec)
-    reg_vec = jnp.asarray(reg_vec)
+    lr_vec = jnp.full(fe, learn_rate, dtype=jnp.float32)
+    lr_vec = lr_vec.at[frozen_col].set(0.0)
+    lr_vec = lr_vec.at[bias_col].set(bias_lr * learn_rate if biased else 0.0)
+    reg_vec = jnp.full(fe, reg, dtype=jnp.float32)
+    reg_vec = reg_vec.at[frozen_col].set(0.0)
+    reg_vec = reg_vec.at[bias_col].set(bias_reg * reg if biased else 0.0)
+    n_real = jnp.sum(weights)
     lr_scale = 1.0
     for _ in range(num_iter):
         score = other_rows @ row
@@ -509,11 +545,87 @@ def _learn_row(row, other_rows, values, num_factors, num_iter, learn_rate,
             g = sgd._gradient_common(loss, err, sig, rating_range)
         else:
             g = values - (score + global_bias)
+        g = g * weights
         grad = jnp.sum(g[:, None] * other_rows, axis=0) \
-            - values.shape[0] * reg_vec * row
+            - n_real * reg_vec * row
         row = row + lr_scale * lr_vec * grad
         lr_scale *= decay
     return row
+
+
+_learn_row = functools.partial(
+    jax.jit,
+    static_argnames=("num_iter", "decay", "biased", "loss",
+                     "frozen_col", "bias_col"))(_learn_row_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_iter", "decay", "biased", "loss",
+                     "frozen_col", "bias_col"),
+    donate_argnames=("own_table",))
+def _refresh_row(own_table, other_table, row_id, key, init_mean, init_stdev,
+                 idx, values, weights, learn_rate, reg, bias_lr, bias_reg,
+                 global_bias, min_rating, rating_range, *, num_iter, decay,
+                 biased, loss, frozen_col, bias_col):
+    """Device-resident single-row refresh (reference RetrainUser /
+    RetrainItem, MatrixFactorization.cs:142-160): fresh N(mean, stdev)
+    row init + the _learn_row loop + write-back, fused into ONE jitted
+    call so prequential eval costs two dispatches per event instead of
+    ~15 eager ops."""
+    fe = own_table.shape[1]
+    f = fe - 2
+    noise = init_mean + init_stdev * jax.random.normal(key, (f,),
+                                                       dtype=jnp.float32)
+    row = jnp.zeros(fe, dtype=jnp.float32)
+    row = row.at[:f].set(noise)
+    row = row.at[frozen_col].set(1.0)
+    row = _learn_row_body(row, other_table[idx], values, weights,
+                          learn_rate, reg, bias_lr, bias_reg, global_bias,
+                          min_rating, rating_range, num_iter=num_iter,
+                          decay=decay, biased=biased, loss=loss,
+                          frozen_col=frozen_col, bias_col=bias_col)
+    return own_table.at[row_id].set(row)
+
+
+@functools.partial(jax.jit, static_argnames=("biased", "bound"))
+def _predict_pairs(W_ext, H_ext, global_bias, min_rating, max_rating,
+                   users, items, num_users, *, biased, bound):
+    """Jitted pairwise prediction on the fused tables (one dispatch per
+    batch; out-of-range ids contribute only the global bias)."""
+    f = W_ext.shape[1] - 2
+    u = jnp.asarray(users, dtype=jnp.int32)
+    i = jnp.asarray(items, dtype=jnp.int32)
+    uc = jnp.clip(u, 0, W_ext.shape[0] - 1)
+    ic = jnp.clip(i, 0, H_ext.shape[0] - 1)
+    u_ok = (u >= 0) & (u < num_users)
+    i_ok = (i >= 0) & (i < H_ext.shape[0])
+    wu = W_ext[uc]
+    hi = H_ext[ic]
+    dot = jnp.sum(wu[:, :f] * hi[:, :f], axis=-1)
+    score = global_bias + jnp.where(u_ok & i_ok, dot, 0.0)
+    if biased:
+        score = score + jnp.where(u_ok, wu[:, f], 0.0)
+        score = score + jnp.where(i_ok, hi[:, f + 1], 0.0)
+    if bound == "sigmoid":
+        return min_rating + jax.nn.sigmoid(score) * (max_rating - min_rating)
+    return jnp.clip(score, min_rating, max_rating)
+
+
+def _pad_history(items, values, min_size: int = 8):
+    """Pad (ids, values) to the next power-of-two bucket with a 0/1
+    weight mask, bounding the number of _learn_row recompilations.
+    Returns numpy arrays — the jitted callee does the device transfer,
+    avoiding per-call eager dispatches."""
+    L = int(np.asarray(values).size)
+    cap = max(min_size, 1 << max(L - 1, 0).bit_length())
+    idx = np.zeros(cap, np.int32)
+    v = np.zeros(cap, np.float32)
+    w = np.zeros(cap, np.float32)
+    idx[:L] = items
+    v[:L] = values
+    w[:L] = 1.0
+    return idx, v, w
 
 
 class BiasedMatrixFactorization(MatrixFactorization):
@@ -648,6 +760,7 @@ class BiasedMatrixFactorization(MatrixFactorization):
             wu, hi, bu, bi, group_users=self.group_users)
         self.current_learnrate = self.learn_rate
         self._key = jax.random.PRNGKey(self.random_seed)
+        self._key_pool = None
         self._bmeta = dict(ngroups=self.W_ext.shape[0] // min(
             self.group_users, max(wu.shape[0], 1)),
             group_users=min(self.group_users, max(wu.shape[0], 1)),

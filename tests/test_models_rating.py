@@ -238,3 +238,51 @@ class TestLoadThenIterate:
         if np.isfinite(obj_trained):
             # models with a real objective must keep providing it
             assert np.isfinite(m2.compute_objective())
+
+
+class TestOnlineEvalFastPath:
+    """The buffered + chunked-predict prequential path (eval/online.py,
+    reference RatingsOnline.cs:35-80) must produce the same results as
+    the per-event path, and fold the events into the dataset at the end."""
+
+    def _data(self):
+        from mymedialite_tpu.data.synthetic import (
+            split_ratings, synthetic_ratings,
+        )
+        data = synthetic_ratings(num_ratings=6000, seed=15)
+        return split_ratings(data, seed=16)
+
+    def _model(self, train, name="BiasedMatrixFactorization"):
+        m = create_rating_predictor(name)
+        m.num_iter = 3
+        m.num_factors = 4
+        m.random_seed = 9
+        m.ratings = train
+        m.train()
+        return m
+
+    @pytest.mark.parametrize("name", ["MatrixFactorization",
+                                      "BiasedMatrixFactorization"])
+    def test_fast_matches_per_event_path(self, name):
+        from mymedialite_tpu.eval.online import evaluate_ratings_online
+        train, test = self._data()
+        fast = self._model(train, name)
+        assert fast.SUPPORTS_ONLINE_BUFFER and fast.ONLINE_PREDICT_ROW_LOCAL
+        r_fast = evaluate_ratings_online(fast, test)
+        slow = self._model(train, name)
+        slow.SUPPORTS_ONLINE_BUFFER = False
+        slow.ONLINE_PREDICT_ROW_LOCAL = False
+        r_slow = evaluate_ratings_online(slow, test)
+        for k in ("RMSE", "MAE", "NMAE", "CBD"):
+            assert abs(r_fast[k] - r_slow[k]) < 1e-5, (k, r_fast, r_slow)
+
+    def test_events_fold_into_dataset(self):
+        from mymedialite_tpu.eval.online import evaluate_ratings_online
+        train, test = self._data()
+        m = self._model(train)
+        evaluate_ratings_online(m, test)
+        assert len(m.ratings) == len(train) + len(test)
+        assert not m._online_active
+        # iterate() after online eval must see the folded-in data
+        m.iterate()
+        assert np.isfinite(m.predict(0, 0))
