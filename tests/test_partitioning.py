@@ -93,3 +93,44 @@ class TestShardedBPRSampler:
         total_valid = int(((g_counts > 0) & (g_counts < I))[:U].sum())
         assert vcount.sum() == total_valid
         assert meta["search_depth"] == g_meta["search_depth"]
+
+
+class TestMultiHostScaffolding:
+    """parallel/mesh.py multi-host layer (SURVEY §2.9 last row): the
+    jax.distributed initialization path with its documented
+    single-process fallback, the host-sharded input plan, and
+    process-local array assembly."""
+
+    def test_initialize_noop_single_process(self):
+        from mymedialite_tpu.parallel.mesh import initialize_distributed
+        assert initialize_distributed() is False
+        assert initialize_distributed(num_processes=1) is False
+        # explicit multi-process config without a coordinator -> no-op
+        assert initialize_distributed(coordinator_address=None,
+                                      num_processes=4,
+                                      process_id=0) is False
+
+    def test_host_local_rows_partition(self):
+        from mymedialite_tpu.parallel.mesh import host_local_rows
+        # hypothetical 4-host pod, 10 group rows: contiguous cover
+        spans = [host_local_rows(10, process_id=p, num_processes=4)
+                 for p in range(4)]
+        assert spans == [(0, 3), (3, 6), (6, 9), (9, 10)]
+        # actual process (single): loads everything
+        assert host_local_rows(7) == (0, 7)
+
+    def test_shard_host_local_roundtrip(self):
+        import jax
+        import numpy as np
+        from mymedialite_tpu.parallel.mesh import (
+            make_global_mesh, shard_host_local,
+        )
+        mesh = make_global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        rows = np.arange(mesh.devices.size * 6,
+                         dtype=np.float32).reshape(-1, 3)
+        arr = shard_host_local(mesh, rows)
+        assert arr.shape == rows.shape
+        np.testing.assert_array_equal(np.asarray(arr), rows)
+        # row-sharded over 'data'
+        assert len(arr.sharding.device_set) == mesh.devices.size
