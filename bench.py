@@ -8,6 +8,15 @@ VMEM-slab user table, fused bias columns) on a Netflix-shaped synthetic
 dataset; value = rating updates applied per second.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+BENCH_SUITE=1 additionally measures the other three hot paths at the
+same Netflix shape (stderr only; stdout stays the single headline line):
+- BPR triple-updates/s (ops/bpr.py bpr_epoch, on-device sampling)
+- WRMF ALS ratings/s-equivalent (one full alternation over nnz)
+- rating-eval predictions/s (vs the reference's 0.45 s Netflix probe
+  eval ~= 3.1M predictions/s, doc/Performance:3) and ranking-eval
+  users/s (full-catalog fused score+rank, eval/ranking.py)
+Measured numbers are recorded in BASELINE.md.
 """
 
 import json
@@ -93,5 +102,161 @@ def main():
     }))
 
 
+# ---------------------------------------------------------------------------
+# BENCH_SUITE: the other three hot paths (VERDICT r1 #3), stderr only
+# ---------------------------------------------------------------------------
+
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", NUM_RATINGS))
+BPR_BATCH = int(os.environ.get("BENCH_BPR_BATCH", 8192))   # model default
+EVAL_USERS = int(os.environ.get("BENCH_EVAL_USERS", 4096))
+PROBE = int(os.environ.get("BENCH_PROBE", 1_400_000))      # Netflix probe
+
+# reference doc/Performance:3 — Netflix probe (~1.4M pairs) eval 0.45 s
+BASELINE_EVAL_PRED_PER_S = 1_400_000 / 0.45
+
+
+def _synth_feedback(rng):
+    from mymedialite_tpu.data.arrays import PosOnlyData
+    users = rng.integers(0, NUM_USERS, N_EVENTS).astype(np.int32)
+    items = rng.integers(0, NUM_ITEMS, N_EVENTS).astype(np.int32)
+    return PosOnlyData(users, items, num_users=NUM_USERS,
+                       num_items=NUM_ITEMS)
+
+
+def bench_bpr():
+    """BPR triple-updates/s: one reference iteration = |events| triple
+    updates (BPRMF.cs:152-160), on-device sampling + minibatch scatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.ops import bpr as bpr_ops
+
+    rng = np.random.default_rng(1)
+    fb = _synth_feedback(rng)
+    sampler, meta = bpr_ops.make_sampler_data(fb)
+    f = NUM_FACTORS
+    params = dict(
+        user_factors=jnp.asarray(
+            0.1 * rng.standard_normal((NUM_USERS, f)).astype(np.float32)),
+        item_factors=jnp.asarray(
+            0.1 * rng.standard_normal((NUM_ITEMS, f)).astype(np.float32)),
+        item_bias=jnp.zeros(NUM_ITEMS, dtype=jnp.float32))
+    hp = {k: jnp.float32(v) for k, v in dict(
+        learn_rate=0.05, reg_u=0.0025, reg_i=0.0025, reg_j=0.00025,
+        bias_reg=0.0).items()}
+    num_batches = max(len(fb) // BPR_BATCH, 1)
+    key = jax.random.PRNGKey(0)
+
+    def epoch(params, sub):
+        return bpr_ops.bpr_epoch(
+            params, sampler, sub, hp, None, batch_size=BPR_BATCH,
+            num_batches=num_batches, regime=bpr_ops.UNIFORM_USER,
+            meta_static=tuple(sorted(meta.items())), update_j=True)
+
+    key, sub = jax.random.split(key)
+    params = epoch(params, sub)
+    float(jnp.sum(params["user_factors"][:8]))  # sync
+    t0 = time.time()
+    for _ in range(EPOCHS):
+        key, sub = jax.random.split(key)
+        params = epoch(params, sub)
+    float(jnp.sum(params["user_factors"][:8]))
+    elapsed = time.time() - t0
+    triples_per_s = EPOCHS * num_batches * BPR_BATCH / elapsed
+    print(f"SUITE bpr_triple_updates_per_s {triples_per_s/1e6:.2f}M "
+          f"({EPOCHS} epochs x {num_batches * BPR_BATCH} triples "
+          f"in {elapsed:.2f}s)", file=sys.stderr)
+    return triples_per_s
+
+
+def bench_wrmf():
+    """WRMF ALS ratings/s-equivalent: one full alternation (user + item
+    solves) over nnz events (reference WRMF.cs:68-156)."""
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.models.wrmf import WRMF
+
+    rng = np.random.default_rng(2)
+    fb = _synth_feedback(rng)
+    m = WRMF()
+    m.num_factors = NUM_FACTORS
+    m.num_iter = 1
+    m.feedback = fb
+    m.train()  # includes prep + compile
+    t0 = time.time()
+    m.iterate()
+    float(jnp.sum(m.params["user_factors"][:8]))
+    elapsed = time.time() - t0
+    ratings_per_s = len(fb) / elapsed
+    print(f"SUITE wrmf_als_ratings_per_s {ratings_per_s/1e6:.2f}M "
+          f"(1 alternation over {len(fb)} events in {elapsed:.2f}s)",
+          file=sys.stderr)
+    return ratings_per_s
+
+
+def bench_eval():
+    """Rating-eval predictions/s on a Netflix-sized probe (reference
+    0.45 s / 1.4M pairs, doc/Performance:3) and ranking-eval users/s
+    (full-catalog fused score+rank top-10)."""
+    from mymedialite_tpu.data.arrays import PosOnlyData, RatingData
+    from mymedialite_tpu.eval.ranking import evaluate_items
+    from mymedialite_tpu.eval.rating import evaluate_ratings
+    from mymedialite_tpu.models.mf import BiasedMatrixFactorization
+
+    rng = np.random.default_rng(3)
+    # small training set: eval speed is independent of training length
+    n_train = min(N_EVENTS, 2_000_000)
+    train = RatingData(
+        rng.integers(0, NUM_USERS, n_train).astype(np.int32),
+        rng.integers(0, NUM_ITEMS, n_train).astype(np.int32),
+        rng.uniform(1, 5, n_train).astype(np.float32),
+        num_users=NUM_USERS, num_items=NUM_ITEMS)
+    m = BiasedMatrixFactorization()
+    m.num_factors = NUM_FACTORS
+    m.num_iter = 1
+    m.ratings = train
+    m.train()
+
+    probe = RatingData(
+        rng.integers(0, NUM_USERS, PROBE).astype(np.int32),
+        rng.integers(0, NUM_ITEMS, PROBE).astype(np.int32),
+        rng.uniform(1, 5, PROBE).astype(np.float32),
+        num_users=NUM_USERS, num_items=NUM_ITEMS)
+    evaluate_ratings(m, probe)  # warm
+    t0 = time.time()
+    evaluate_ratings(m, probe)
+    elapsed = time.time() - t0
+    pred_per_s = PROBE / elapsed
+    print(f"SUITE rating_eval_predictions_per_s {pred_per_s/1e6:.2f}M "
+          f"({PROBE} pairs in {elapsed:.2f}s, "
+          f"vs_baseline {pred_per_s / BASELINE_EVAL_PRED_PER_S:.1f}x)",
+          file=sys.stderr)
+
+    # test items from the top id range, train restricted below it, so the
+    # per-user ignore sets never swallow relevant items (AUC.cs:64 guard)
+    split_at = NUM_ITEMS - max(NUM_ITEMS // 16, 4)
+    test_u = rng.choice(NUM_USERS, EVAL_USERS, replace=False).astype(np.int32)
+    test = PosOnlyData(np.repeat(test_u, 3),
+                       rng.integers(split_at, NUM_ITEMS, 3 * EVAL_USERS)
+                       .astype(np.int32),
+                       num_users=NUM_USERS, num_items=NUM_ITEMS)
+    ptrain = PosOnlyData(train.users, train.items % split_at,
+                         num_users=NUM_USERS, num_items=NUM_ITEMS)
+    kw = dict(candidate_item_mode="UNION")
+    evaluate_items(m, test, ptrain, test_users=test_u[:64], **kw)  # warm
+    t0 = time.time()
+    evaluate_items(m, test, ptrain, test_users=test_u, **kw)
+    elapsed = time.time() - t0
+    users_per_s = EVAL_USERS / elapsed
+    print(f"SUITE ranking_eval_users_per_s {users_per_s:.0f} "
+          f"({EVAL_USERS} users x {NUM_ITEMS}-item catalog "
+          f"in {elapsed:.2f}s)", file=sys.stderr)
+    return pred_per_s, users_per_s
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_SUITE"):
+        bench_bpr()
+        bench_wrmf()
+        bench_eval()

@@ -29,18 +29,33 @@ def main():
     train, test = split_posonly(pos, 0.2, seed=103)
     print(f"# {len(train)} train / {len(test)} test events", flush=True)
 
+    phase = int(os.environ.get("E_PHASE", 1))
     configs = []
-    for num_iter in (50, 100, 200, 400):
-        configs.append(f"num_factors=32 num_iter={num_iter}")
-    for lr in (0.02, 0.1):
-        configs.append(f"num_factors=32 num_iter=100 learn_rate={lr}")
-    for reg in ("reg_u=0.01 reg_i=0.01 reg_j=0.001",
-                "reg_u=0.0005 reg_i=0.0005 reg_j=0.00005"):
-        configs.append(f"num_factors=32 num_iter=100 {reg}")
-    for f in (16, 64):
-        configs.append(f"num_factors={f} num_iter=100")
-    configs.append("num_factors=64 num_iter=200 learn_rate=0.1")
-    configs.append("num_factors=32 num_iter=100 bias_reg=0.01")
+    if phase == 1:
+        for num_iter in (50, 100, 200, 400):
+            configs.append(f"num_factors=32 num_iter={num_iter}")
+        for lr in (0.02, 0.1):
+            configs.append(f"num_factors=32 num_iter=100 learn_rate={lr}")
+        for reg in ("reg_u=0.01 reg_i=0.01 reg_j=0.001",
+                    "reg_u=0.0005 reg_i=0.0005 reg_j=0.00005"):
+            configs.append(f"num_factors=32 num_iter=100 {reg}")
+        for f in (16, 64):
+            configs.append(f"num_factors={f} num_iter=100")
+        configs.append("num_factors=64 num_iter=200 learn_rate=0.1")
+        configs.append("num_factors=32 num_iter=100 bias_reg=0.01")
+    else:
+        # phase 2: combos of the phase-1 winners (low lr, higher reg,
+        # fewer factors)
+        reg = "reg_u=0.01 reg_i=0.01 reg_j=0.001"
+        configs += [
+            f"num_factors=16 num_iter=100 learn_rate=0.02 {reg}",
+            f"num_factors=16 num_iter=200 learn_rate=0.02 {reg}",
+            f"num_factors=16 num_iter=100 {reg}",
+            "num_factors=16 num_iter=200 learn_rate=0.02",
+            f"num_factors=32 num_iter=200 learn_rate=0.02 {reg}",
+            f"num_factors=16 num_iter=400 learn_rate=0.01 {reg}",
+            "num_factors=16 num_iter=100 reg_u=0.04 reg_i=0.04 reg_j=0.004",
+        ]
 
     for opts in configs:
         m = create_item_recommender("BPRMF")

@@ -246,6 +246,11 @@ def evaluate_items(recommender, test, training,
         # shape -> recompile, catastrophic over the TPU tunnel)
         return 1 << max(0, int(size - 1).bit_length())
 
+    # Phase 1: prep + dispatch every batch WITHOUT fetching — the device
+    # (or the TPU tunnel) pipelines the fused kernels while the host
+    # preps the next batch; fetching per batch would serialize host prep,
+    # round-trip latency, and device compute.
+    pending = []
     for start in range(0, test_users.size, batch_size):
         batch = test_users[start:start + batch_size]
         nreal = batch.size
@@ -282,10 +287,13 @@ def evaluate_items(recommender, test, training,
         for r, (correct, _, _) in enumerate(preps):
             correct_rows[r, :correct.size] = correct
 
-        correct_ranks = np.asarray(rank_kernel(
+        pending.append((rank_kernel(
             score_params, scores_in, cand_mask_dev,
-            _put(ignore_rows), _put(correct_rows)))
+            _put(ignore_rows), _put(correct_rows)), preps))
 
+    # Phase 2: fetch + host-side rank math
+    for ranks_dev, preps in pending:
+        correct_ranks = np.asarray(ranks_dev)
         for row, (correct, train_items_u, n_cand) in enumerate(preps):
             m = int(correct.size)
             if m == 0 or m == n_cand:
