@@ -398,7 +398,11 @@ def tables_std_to_mxu(W_std, H_std, new_of_old, *, u_pad: int, i_pad: int,
     host round trip between epochs."""
     fe = W_std.shape[1]
     W = jnp.zeros((u_pad, fe_mxu), jnp.float32)
-    W = W.at[:W_std.shape[0], :fe].set(W_std)
+    # the std layout pads users to group_users multiples (16384), the
+    # kernel to user_block multiples (512): whichever is smaller, the
+    # rows past min() are padding in both layouts (real users < both)
+    rows = min(W_std.shape[0], u_pad)
+    W = W.at[:rows, :fe].set(W_std[:rows])
     H = jnp.zeros((i_pad, fe_mxu), jnp.float32)
     H = H.at[new_of_old, :fe].set(H_std)
     return W, H
