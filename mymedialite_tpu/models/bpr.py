@@ -197,6 +197,8 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             self.feedback, self.num_neg_trials)
         self._meta = meta
         self._pop_cdf = self._make_pop_cdf()
+        self._bpr_plan = None
+        self._bpr_dirty = True
         # fixed triple sample for convergence-loss tracking
         # (reference BPRMF.cs:135-150: sqrt(|U|) * 100 triples)
         n_sample = int(math.isqrt(max(self.feedback.num_users - 1, 1))) * 100
@@ -209,7 +211,83 @@ class BPRMF(ItemMF, FoldInItemRecommender):
     def _make_pop_cdf(self):
         return None
 
+    # --- Pallas MXU epoch (ops/pallas_bpr.py) ---
+
+    def _mxu_mode(self) -> str:
+        """Epoch-kernel selection, mirroring models/mf.py _mxu_mode:
+        'tpu' = the Pallas MXU one-hot-matmul BPR epoch (scatter-free;
+        the XLA epoch is scatter-bound at ~1.3M triples/s at the Netflix
+        bench shape), 'interpret' = forced interpret mode (tests),
+        '' = the XLA minibatch epoch. Needs the item table in VMEM;
+        WBPR's popularity-CDF negatives stay on the XLA path."""
+        import os
+        env = os.environ.get("MML_MXU", "auto")
+        if env == "0":
+            return ""
+        if self.feedback is None or self._pop_cdf is not None:
+            return ""
+        from mymedialite_tpu.ops import pallas_bpr as pb
+        if not pb.mxu_supported(self.feedback.num_items, self.num_factors):
+            return ""
+        if env == "interpret":
+            return "interpret"
+        if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+            return "tpu"
+        return ""
+
+    def _prepare_mxu(self):
+        self._bpr_dirty = False
+        self._bpr_plan = None
+        mode = self._mxu_mode()
+        if not mode:
+            return
+        from mymedialite_tpu.ops import pallas_bpr as pb
+        plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
+            self.feedback, uniform_user=self.uniform_user_sampling,
+            shuffle_seed=self.random_seed,
+            num_neg_trials=self.num_neg_trials)
+        self._bpr_plan = plan
+        self._bpr_neg_state = neg_state
+        self._bpr_neg_meta = neg_meta
+        self._bpr_interpret = mode == "interpret"
+        self._bpr_new_of_old = jnp.asarray(plan.new_of_old)
+
+    def _iterate_mxu(self):
+        """One epoch through the Pallas kernel: params convert to the
+        kernel layout on device, fresh negatives are sampled on device,
+        the epoch runs, and the results convert back — the model's
+        canonical state stays the params dict, so predict / retrain /
+        save-load paths are untouched."""
+        from mymedialite_tpu.ops import pallas_bpr as pb
+        plan = self._bpr_plan
+        p = self.params
+        f = self.num_factors
+        fe = max(64, ((f + 2 + 7) // 8) * 8)
+        We, He = pb.bpr_tables_to_mxu(
+            p["user_factors"], p["item_factors"], p["item_bias"],
+            self._bpr_new_of_old, u_pad=plan.u_pad, i_pad=plan.i_pad, fe=fe)
+        rates = pb.bpr_mxu_column_rates(
+            f, fe, self.learn_rate, self.reg_u, self.reg_i, self.reg_j,
+            self.bias_reg, self.update_j)
+        self._key, k_neg = jax.random.split(self._key)
+        jb, neg = pb.sample_negatives_mxu(self._bpr_neg_state, k_neg,
+                                          meta=self._bpr_neg_meta)
+        self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
+        order = plan.epoch_order(
+            (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
+        We, He = pb.bpr_epoch_mxu(
+            We, He, plan.packed, neg, order, jb, rates, meta=plan.meta(fe),
+            soft_margin=self.SOFT_MARGIN, interpret=self._bpr_interpret)
+        W, H, bias = pb.bpr_tables_from_mxu(
+            We, He, self._bpr_new_of_old,
+            num_users=p["user_factors"].shape[0], num_factors=f)
+        self.params = dict(user_factors=W, item_factors=H, item_bias=bias)
+
     def iterate(self):
+        if getattr(self, "_bpr_dirty", True):
+            self._prepare_mxu()
+        if self._bpr_plan is not None:
+            return self._iterate_mxu()
         meta = self._meta
         batch = min(self.batch_size, max(meta["num_events"], 1))
         num_batches = max((meta["num_events"] + batch - 1) // batch, 1)

@@ -79,9 +79,16 @@ class WRMF(ItemMF):
             nb_pad = ((rows.size + mult - 1) // mult) * mult
             hist = np.zeros((nb_pad, L), np.int32)
             lens = np.zeros(nb_pad, np.int32)
-            lens[:rows.size] = counts[rows]
-            for j, r in enumerate(rows):
-                hist[j, :counts[r]] = csr.secondary(r)
+            cnt_r = counts[rows].astype(np.int64)
+            lens[:rows.size] = cnt_r
+            # vectorized ragged fill (a per-row python loop is minutes at
+            # 480k rows): flat positions within each row's segment
+            total = int(cnt_r.sum())
+            row_rep = np.repeat(np.arange(rows.size, dtype=np.int64), cnt_r)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt_r) - cnt_r, cnt_r)
+            starts = np.repeat(csr.indptr[rows].astype(np.int64), cnt_r)
+            hist[row_rep, within] = csr.keys[starts + within]
             buckets.append((rows, self._put(hist, lens), chunk))
         return buckets
 
