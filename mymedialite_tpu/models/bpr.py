@@ -193,20 +193,41 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         super().init_model()
         self.params["item_bias"] = jnp.zeros(self.feedback.num_items,
                                              dtype=jnp.float32)
+        self._build_epoch_state()
+
+    def _build_epoch_state(self):
+        """(Re)build all feedback-derived training state: the XLA sampler
+        arrays, the WBPR popularity CDF, the MXU-plan dirty flag, and the
+        fixed convergence-loss triple sample (reference BPRMF.cs:135-150:
+        sqrt(|U|) * 100 triples)."""
         self._sampler, meta = bpr_ops.make_sampler_data(
             self.feedback, self.num_neg_trials)
         self._meta = meta
         self._pop_cdf = self._make_pop_cdf()
         self._bpr_plan = None
         self._bpr_dirty = True
-        # fixed triple sample for convergence-loss tracking
-        # (reference BPRMF.cs:135-150: sqrt(|U|) * 100 triples)
         n_sample = int(math.isqrt(max(self.feedback.num_users - 1, 1))) * 100
         self._key, sub = jax.random.split(self._key)
         u, i, j, w = bpr_ops._sample_triples(
             sub, self._sampler, dict(meta), max(n_sample, 1),
             bpr_ops.UNIFORM_USER)
         self._loss_sample = (u, i, j)
+
+    def _ensure_epoch_ready(self):
+        """Lazily rebuild feedback-derived state when missing — e.g. after
+        ``load_model`` — so ``iterate()``/``compute_objective()`` keep
+        working without a fresh ``train()`` (reference Model.Load
+        re-creates a recommender that can keep training, IO/Model.cs:67-83;
+        the CLI's --load-model + --find-iter flow). Mirrors
+        models/mf.py's _ensure_epoch_ready for the rating-MF family."""
+        if self._sampler is not None:
+            return
+        if self.feedback is None:
+            raise RuntimeError(
+                f"{type(self).__name__}: no feedback set; assign "
+                ".feedback before iterating a loaded model")
+        self._grow_tables()
+        self._build_epoch_state()
 
     def _make_pop_cdf(self):
         return None
@@ -284,6 +305,7 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         self.params = dict(user_factors=W, item_factors=H, item_bias=bias)
 
     def iterate(self):
+        self._ensure_epoch_ready()
         if getattr(self, "_bpr_dirty", True):
             self._prepare_mxu()
         if self._bpr_plan is not None:
@@ -301,6 +323,7 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             update_j=self.update_j, soft_margin=self.SOFT_MARGIN)
 
     def compute_objective(self):
+        self._ensure_epoch_ready()
         u, i, j = self._loss_sample
         return float(bpr_ops.bpr_objective(self.params, self._hp(), u, i, j))
 
@@ -329,10 +352,16 @@ class BPRMF(ItemMF, FoldInItemRecommender):
     def _retrain(self, users, items):
         if self.params is None:
             return
+        self._ensure_epoch_ready()  # loaded model: build full state first
         self._grow_tables()
         self._sampler, self._meta = bpr_ops.make_sampler_data(
             self.feedback, self.num_neg_trials)
         self._pop_cdf = self._make_pop_cdf()
+        # the MXU epoch plan buckets the (pre-update) event stream; a
+        # subsequent iterate() must train on the CURRENT feedback
+        # (reference AddFeedback-then-Iterate contract, BPRMF.cs:129-160)
+        self._bpr_dirty = True
+        self._bpr_plan = None
         if self.update_users:
             for u in np.unique(np.asarray(users, dtype=np.int64)):
                 self.retrain_user(int(u))
@@ -475,7 +504,14 @@ class MultiCoreBPRMF(BPRMF):
         super().init_model()
         self._setup_mesh()
 
+    def _ensure_epoch_ready(self):
+        rebuilt = self._sampler is None
+        super()._ensure_epoch_ready()
+        if rebuilt and self._mesh is None:
+            self._setup_mesh()
+
     def iterate(self):
+        self._ensure_epoch_ready()
         if self._mesh is None:
             return super().iterate()
         import jax

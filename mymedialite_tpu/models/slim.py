@@ -119,6 +119,17 @@ class LeastSquareSLIM(_SLIM):
         # W starts at N(mean, std) like the base, but the sweep overwrites
         # every unmasked coordinate anyway
         super().init_model()
+        self._build_epoch_state()
+
+    def _ensure_epoch_ready(self):
+        """Lazily rebuild feedback-derived sweep state after load_model
+        (reference Model.Load + --find-iter contract, IO/Model.cs:67-83)."""
+        if getattr(self, "_M", None) is None:
+            if self.feedback is None:
+                raise RuntimeError("LeastSquareSLIM: no feedback set")
+            self._build_epoch_state()
+
+    def _build_epoch_state(self):
         f = self.feedback
         self._M = self._incidence()                       # [U, I]
         self._C = jnp.dot(self._M.T, self._M,
@@ -141,6 +152,7 @@ class LeastSquareSLIM(_SLIM):
             self._mask = 1.0 - jnp.eye(I, dtype=jnp.float32)
 
     def iterate(self):
+        self._ensure_epoch_ready()
         self.W = _ls_slim_sweep(self.W, self._M, self._C, self._cj,
                                 self._mask, jnp.float32(self.reg_l1),
                                 jnp.float32(self.reg_l2))
@@ -191,13 +203,25 @@ class BPRSLIM(_SLIM):
 
     def init_model(self):
         super().init_model()
+        self._build_epoch_state()
+
+    def _build_epoch_state(self):
         self._sampler, self._meta = bpr_ops.make_sampler_data(
             self.feedback, self.num_neg_trials)
         hist, lens = padded_history(self.feedback.by_user)
         self._hist = jnp.asarray(hist)
         self._lens = jnp.asarray(lens)
 
+    def _ensure_epoch_ready(self):
+        """Lazily rebuild sampler state after load_model (reference
+        Model.Load + --find-iter contract, IO/Model.cs:67-83)."""
+        if getattr(self, "_sampler", None) is None:
+            if self.feedback is None:
+                raise RuntimeError("BPRSLIM: no feedback set")
+            self._build_epoch_state()
+
     def iterate(self):
+        self._ensure_epoch_ready()
         meta = self._meta
         B = min(self.batch_size, max(meta["num_events"], 1))
         num_batches = max((meta["num_events"] + B - 1) // B, 1)

@@ -33,6 +33,7 @@ class WRMF(ItemMF):
         self.solve_chunk = 256
         self._user_hist = None
         self._item_hist = None
+        self._mesh = None
 
     def init_model(self):
         super().init_model()
@@ -121,8 +122,22 @@ class WRMF(ItemMF):
             W = W.at[jnp.asarray(rows)].set(Wb[:rows.size])
         return W
 
+    def _ensure_epoch_ready(self):
+        """Lazily rebuild mesh + histories when missing — e.g. after
+        ``load_model`` — so ``iterate()`` keeps training (reference
+        Model.Load + --find-iter contract, IO/Model.cs:67-83)."""
+        if self._user_hist is not None:
+            return
+        if self.feedback is None:
+            raise RuntimeError(
+                "WRMF: no feedback set; assign .feedback before "
+                "iterating a loaded model")
+        self._grow_tables()
+        self._mesh = self._make_mesh()
+
     def iterate(self):
         """One alternation (reference WRMF.Iterate :68-73)."""
+        self._ensure_epoch_ready()
         if getattr(self, "_hist_dirty", False) or self._user_hist is None:
             self._build_histories()
             self._hist_dirty = False

@@ -360,7 +360,7 @@ def bpr_epoch_mxu(W_ext, H_ext, data, neg, order, jb_layout, rates, *,
         in_specs=[
             pl.BlockSpec((UB, fe), lambda c, ub, ib, jb, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 4, C), lambda c, ub, ib, jb, row: (row[c], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, C), lambda c, ub, ib, jb, row: (row[c], 0, 0),
@@ -371,7 +371,7 @@ def bpr_epoch_mxu(W_ext, H_ext, data, neg, order, jb_layout, rates, *,
         out_specs=[
             pl.BlockSpec((UB, fe), lambda c, ub, ib, jb, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((i_pad, fe), jnp.float32),

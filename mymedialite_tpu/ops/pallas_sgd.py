@@ -354,7 +354,7 @@ def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
         in_specs=[
             pl.BlockSpec((UB, fe), lambda c, ub, ib, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 4, C), lambda c, ub, ib, row: (row[c], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fe, 4), lambda c, ub, ib, row: (0, 0),
@@ -365,7 +365,7 @@ def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
         out_specs=[
             pl.BlockSpec((UB, fe), lambda c, ub, ib, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((i_pad, fe), jnp.float32),

@@ -80,6 +80,126 @@ class TestSmoke:
                                    atol=1e-6)
 
 
+class TestLoadThenIterate:
+    """LoadModel then Iterate keeps training without a fresh train()
+    (reference Model.Load re-creates a recommender that can keep
+    training, IO/Model.cs:67-83; the CLI's --load-model + --find-iter
+    flow). Registry-wide sweep over every iterative item recommender —
+    the round-2 per-family fix regressed silently for BPRMF/WRMF because
+    only the rating-MF family was swept."""
+
+    @pytest.mark.parametrize("name", [n for n in list_item_recommenders()
+                                      if n not in _SKIP_ROUNDTRIP])
+    def test_iterate_after_load(self, name, tmp_path):
+        from mymedialite_tpu.models.base import IterativeModel
+        m = create_item_recommender(name)
+        if not isinstance(m, IterativeModel):
+            pytest.skip("not an iterative model")
+        m.feedback = small_feedback()
+        give_attributes(m)
+        m.num_iter = 2
+        if hasattr(m, "batch_size"):
+            m.batch_size = 8
+        m.train()
+        path = str(tmp_path / f"{name}.model")
+        m.save_model(path)
+
+        m2 = create_item_recommender(name)
+        m2.feedback = small_feedback()
+        give_attributes(m2)
+        if hasattr(m2, "batch_size"):
+            m2.batch_size = 8
+        m2.load_model(path)
+        m2.iterate()                      # must not crash
+        users = np.array([0, 1, 0, 1], dtype=np.int32)
+        items = np.array([0, 1, 3, 2], dtype=np.int32)
+        assert np.all(np.isfinite(m2.predict_batch(users, items)))
+        if hasattr(m2, "compute_objective"):
+            m2.compute_objective()        # must not crash either
+
+    @pytest.mark.parametrize("name", ["BPRMF", "WRMF"])
+    def test_add_feedback_after_load(self, name, tmp_path):
+        """load_model -> add_feedback -> iterate (the online-then-resume
+        flow; reference IncrementalItemRecommender.cs:38-101)."""
+        m = create_item_recommender(name)
+        m.feedback = small_feedback()
+        m.num_iter = 2
+        if hasattr(m, "batch_size"):
+            m.batch_size = 8
+        m.train()
+        path = str(tmp_path / f"{name}.model")
+        m.save_model(path)
+        m2 = create_item_recommender(name)
+        m2.feedback = small_feedback()
+        if hasattr(m2, "batch_size"):
+            m2.batch_size = 8
+        m2.load_model(path)
+        new_u = m2.feedback.num_users
+        m2.add_feedback([new_u, new_u], [0, 1])
+        m2.iterate()
+        assert np.isfinite(m2.predict(new_u, 2))
+
+
+class TestMXUBPREpoch:
+    """Model-level coverage for the Pallas MXU BPR epoch
+    (ops/pallas_bpr.py), forced into interpret mode on CPU — it
+    auto-selects as the production path on single-chip TPU
+    (models/bpr.py _mxu_mode). Kernel/sampler numerics live in
+    tests/test_bpr_sampling.py."""
+
+    def _small(self):
+        data = synthetic_posonly(num_users=80, num_items=50,
+                                 num_events=3000, seed=31)
+        return split_posonly(data, seed=32)
+
+    def test_model_trains_through_mxu_path(self, monkeypatch):
+        monkeypatch.setenv("MML_MXU", "interpret")
+        train, test = self._small()
+        m = create_item_recommender("BPRMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.num_iter = 5
+        m.train()
+        assert m._bpr_plan is not None    # the MXU path actually engaged
+        res = evaluate_items(m, test, train)
+        rnd = create_item_recommender("Random")
+        rnd.feedback = train
+        rnd.train()
+        res_rnd = evaluate_items(rnd, test, train)
+        assert res["AUC"] > res_rnd["AUC"] + 0.1
+
+    def test_soft_margin_through_mxu_path(self, monkeypatch):
+        monkeypatch.setenv("MML_MXU", "interpret")
+        train, test = self._small()
+        m = create_item_recommender("SoftMarginRankingMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.num_iter = 5
+        m.train()
+        assert m._bpr_plan is not None
+        res = evaluate_items(m, test, train)
+        assert res["AUC"] > 0.55
+
+    def test_add_feedback_invalidates_plan(self, monkeypatch):
+        """AddFeedback then Iterate must train on the CURRENT feedback
+        (reference BPRMF.cs:129-160): the MXU plan is rebuilt from the
+        updated event stream, never reused stale."""
+        monkeypatch.setenv("MML_MXU", "interpret")
+        train, _ = self._small()
+        m = create_item_recommender("BPRMF")
+        m.feedback = train
+        m.num_factors = 4
+        m.num_iter = 2
+        m.train()
+        plan0 = m._bpr_plan
+        assert plan0 is not None and plan0.n_ratings == len(train)
+        new_u = train.num_users
+        m.add_feedback([new_u, new_u, new_u], [1, 2, 3])
+        m.iterate()
+        assert m._bpr_plan is not plan0
+        assert m._bpr_plan.n_ratings == len(m.feedback)
+
+
 class TestMostPopular:
     def test_counts(self):
         m = create_item_recommender("MostPopular")
