@@ -42,8 +42,15 @@ Within-chunk negatives share one item block (correlated draws); each
 slot's marginal stays uniform over the catalog, and rejection within the
 block matches uniform-over-(block minus history). Bias: for users whose
 history is dense in some block the conditional negative distribution
-shifts by O(|I_u|/I) — negligible at real densities and validated by
-quality runs (exp_bpr.py).
+shifts by O(|I_u|/I) — negligible at real densities. Validation lives in
+tests/test_pallas_bpr.py: interpret-mode epoch vs a numpy oracle of the
+reference update rule (incl. the bias column and the hinge variant),
+structural proof of the block-marginal uniformity claim, chi-square of
+the per-user negative marginal against the exact rejection formula, and
+the uniform-user importance weights against the reference's expected
+per-event visit counts; model-level coverage (plan engages, ranking
+learned, plan invalidation on AddFeedback) in tests/test_models_item.py
+TestMXUBPREpoch.
 """
 
 from __future__ import annotations
