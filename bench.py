@@ -11,12 +11,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 BENCH_SUITE=1 additionally measures the other three hot paths at the
 same Netflix shape (stderr only; stdout stays the single headline line):
-- BPR triple-updates/s (ops/bpr.py bpr_epoch, on-device sampling)
+- BPR triple-updates/s on the production single-chip path (the Pallas
+  MXU epoch through the model's own iterate, ops/pallas_bpr.py), with
+  the XLA minibatch epoch (ops/bpr.py) as a secondary line
 - WRMF ALS ratings/s-equivalent (one full alternation over nnz)
 - rating-eval predictions/s (vs the reference's 0.45 s Netflix probe
   eval ~= 3.1M predictions/s, doc/Performance:3) and ranking-eval
   users/s (full-catalog fused score+rank, eval/ranking.py)
-Measured numbers are recorded in BASELINE.md.
+Measured numbers are recorded in BASELINE.md ("Hot-path suite").
 """
 
 import json
@@ -215,9 +217,51 @@ def bench_bpr():
     float(jnp.sum(params["user_factors"][:8]))
     elapsed = time.time() - t0
     triples_per_s = EPOCHS * num_batches * BPR_BATCH / elapsed
+    print(f"SUITE bpr_triple_updates_per_s_xla {triples_per_s/1e6:.2f}M "
+          f"(secondary: XLA minibatch epoch; {EPOCHS} epochs x "
+          f"{num_batches * BPR_BATCH} triples in {elapsed:.2f}s)",
+          file=sys.stderr)
+    return triples_per_s
+
+
+def bench_bpr_mxu():
+    """BPR triple-updates/s on the production single-chip path: the
+    Pallas MXU epoch driven through the model's own iterate()
+    (models/bpr.py _iterate_mxu), including per-epoch on-device negative
+    resampling, layout conversions, and the host chunk-order shuffle —
+    i.e. exactly what a TPU BPRMF.Train() iteration costs."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.models.bpr import BPRMF
+
+    rng = np.random.default_rng(1)
+    fb = _synth_feedback(rng)
+    m = BPRMF()
+    m.num_factors = NUM_FACTORS
+    m.feedback = fb
+    m.init_model()
+    if m._mxu_mode() != "tpu":
+        print("SUITE bpr_mxu skipped (needs single-chip TPU + item table "
+              "in VMEM)", file=sys.stderr)
+        return None
+    t0 = time.time()
+    m.iterate()  # plan prep + compile
+    float(jnp.sum(m.params["user_factors"][:8]))
+    assert m._bpr_plan is not None
+    print(f"bpr mxu warmup+prep: {time.time() - t0:.1f}s "
+          f"({m._bpr_plan.num_chunks} chunks)", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(EPOCHS):
+        m.iterate()
+    float(jnp.sum(m.params["user_factors"][:8]))
+    elapsed = time.time() - t0
+    triples_per_s = EPOCHS * len(fb) / elapsed
     print(f"SUITE bpr_triple_updates_per_s {triples_per_s/1e6:.2f}M "
-          f"({EPOCHS} epochs x {num_batches * BPR_BATCH} triples "
-          f"in {elapsed:.2f}s)", file=sys.stderr)
+          f"(Pallas MXU epoch — the production single-chip path; "
+          f"{EPOCHS} epochs x {len(fb)} triples in {elapsed:.2f}s, "
+          f"vs_baseline {triples_per_s / BASELINE_UPDATES_PER_S:.0f}x)",
+          file=sys.stderr)
     return triples_per_s
 
 
@@ -309,6 +353,7 @@ def bench_eval():
 if __name__ == "__main__":
     main()
     if os.environ.get("BENCH_SUITE"):
+        bench_bpr_mxu()
         bench_bpr()
         bench_wrmf()
         bench_eval()

@@ -57,6 +57,31 @@ def main():
             "num_factors=16 num_iter=100 reg_u=0.04 reg_i=0.04 reg_j=0.004",
         ]
 
+    if phase == 3:
+        # convergence curves at the tuned config (BASELINE.md winner):
+        # exact-XLA samplers vs the importance-weighted Pallas MXU epoch
+        # (VERDICT r2 #7) — quantifies the sampling-semantics divergence
+        # from BPRMF.cs:183-321 as a measured trade.
+        opts = ("num_factors=16 learn_rate=0.02 "
+                "reg_u=0.01 reg_i=0.01 reg_j=0.001")
+        for env in ("0", "auto"):
+            os.environ["MML_MXU"] = env
+            m = create_item_recommender("BPRMF")
+            configure(m, opts)
+            m.feedback = train
+            m.init_model()
+            t0 = time.time()
+            for it in range(1, 101):
+                m.iterate()
+                if it % 10 == 0:
+                    res = evaluate_items(m, test, train)
+                    path = ("mxu" if getattr(m, "_bpr_plan", None)
+                            is not None else "xla")
+                    print(f"BPRMF[{path}] it={it:3d} AUC {res['AUC']:.4f} "
+                          f"prec@5 {res['prec@5']:.4f} MAP {res['MAP']:.4f} "
+                          f"elapsed {time.time() - t0:6.1f}s", flush=True)
+        return
+
     for opts in configs:
         m = create_item_recommender("BPRMF")
         configure(m, opts)
@@ -65,7 +90,8 @@ def main():
         m.train()
         t_train = time.time() - t0
         res = evaluate_items(m, test, train)
-        print(f"BPRMF {opts:55s} AUC {res['AUC']:.4f} "
+        path = "mxu" if getattr(m, "_bpr_plan", None) is not None else "xla"
+        print(f"BPRMF[{path}] {opts:55s} AUC {res['AUC']:.4f} "
               f"prec@5 {res['prec@5']:.4f} MAP {res['MAP']:.4f} "
               f"train {t_train:6.1f}s", flush=True)
 

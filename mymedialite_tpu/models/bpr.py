@@ -275,10 +275,13 @@ class BPRMF(ItemMF, FoldInItemRecommender):
 
     def _iterate_mxu(self):
         """One epoch through the Pallas kernel: params convert to the
-        kernel layout on device, fresh negatives are sampled on device,
-        the epoch runs, and the results convert back — the model's
-        canonical state stays the params dict, so predict / retrain /
-        save-load paths are untouched."""
+        kernel layout on device, the epoch runs with negatives sampled
+        inside the kernel (random bits generated in one fused XLA op),
+        and the results convert back — the model's canonical state stays
+        the params dict, so predict / retrain / save-load paths are
+        untouched."""
+        import numpy as np
+
         from mymedialite_tpu.ops import pallas_bpr as pb
         plan = self._bpr_plan
         p = self.params
@@ -290,14 +293,21 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         rates = pb.bpr_mxu_column_rates(
             f, fe, self.learn_rate, self.reg_u, self.reg_i, self.reg_j,
             self.bias_reg, self.update_j)
-        self._key, k_neg = jax.random.split(self._key)
-        jb, neg = pb.sample_negatives_mxu(self._bpr_neg_state, k_neg,
-                                          meta=self._bpr_neg_meta)
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
         order = plan.epoch_order(
             (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
-        We, He = pb.bpr_epoch_mxu(
-            We, He, plan.packed, neg, order, jb, rates, meta=plan.meta(fe),
+        n_ib, Kcap, trials, num_items, _IB = self._bpr_neg_meta
+        ub_visit = plan.ub_c[np.asarray(order[2])]
+        jb, nval, bkt = pb.epoch_negative_plan(
+            plan, self._bpr_neg_state["nvalid"], ub_visit, num_items,
+            (self.random_seed + 7) * 999_983 + self._epoch_counter)
+        self._key, k_bits = jax.random.split(self._key)
+        bits = pb.epoch_random_bits(k_bits, nc=plan.num_chunks,
+                                    trials=trials, C=plan.chunk)
+        We, He, _neg = pb.bpr_epoch_mxu(
+            We, He, plan.packed, self._bpr_neg_state["keys_tbl"], bits,
+            order, jb, nval, bkt, rates,
+            meta=plan.meta(fe) + (Kcap, trials),
             soft_margin=self.SOFT_MARGIN, interpret=self._bpr_interpret)
         W, H, bias = pb.bpr_tables_from_mxu(
             We, He, self._bpr_new_of_old,

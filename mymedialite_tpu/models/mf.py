@@ -177,10 +177,12 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
     def _mxu_mode(self) -> str:
         """Epoch-kernel selection: 'tpu' = the Pallas MXU one-hot-matmul
         epoch (ops/pallas_sgd.py — measured 225M updates/s vs 46M for the
-        XLA blocked epoch at the Netflix bench shape), 'interpret' =
-        forced interpret mode (tests), '' = XLA blocked epoch. The MXU
-        kernel needs the item table in VMEM and per-column (not
-        per-entity) regularization."""
+        XLA blocked epoch at the Netflix bench shape) with the item table
+        resident in VMEM; 'tiled' = the slab-tiled variant for catalogs
+        beyond the VMEM budget (KDD-Cup-scale, sgd_epoch_mxu_tiled);
+        '(tiled-)interpret' = forced interpret mode (tests), '' = XLA
+        blocked epoch. The MXU kernels need per-column (not per-entity)
+        regularization."""
         import os
 
         import jax
@@ -189,14 +191,17 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         env = os.environ.get("MML_MXU", "auto")
         if env == "0":
             return ""
-        if self.frequency_regularization or self.ratings is None or \
-                not ps.mxu_supported(self.ratings.num_items,
-                                     self.num_factors):
+        if self.frequency_regularization or self.ratings is None:
+            return ""
+        fits = ps.mxu_supported(self.ratings.num_items, self.num_factors)
+        tiled = not fits and ps.mxu_tiled_supported(
+            self.ratings.num_items, self.num_factors)
+        if not fits and not tiled:
             return ""
         if env == "interpret":
-            return "interpret"
+            return "tiled-interpret" if tiled else "interpret"
         if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-            return "tpu"
+            return "tiled" if tiled else "tpu"
         return ""
 
     def _prepare_epoch_data(self):
@@ -205,11 +210,18 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         mode = self._mxu_mode()
         if mode:
             from mymedialite_tpu.ops import pallas_sgd as ps
-            self._mxu_plan = ps.prepare_mxu_data(
-                data.users, data.items, data.values, data.num_users,
-                data.num_items, user_block=512, item_block=1024,
-                chunk=640, shuffle_seed=self.random_seed)
-            self._mxu_interpret = mode == "interpret"
+            if mode.startswith("tiled"):
+                self._mxu_plan = ps.prepare_mxu_tiled(
+                    data.users, data.items, data.values, data.num_users,
+                    data.num_items, user_block=512, item_block=1024,
+                    chunk=640, shuffle_seed=self.random_seed,
+                    slab_blocks=ps.default_slab_blocks(self.num_factors))
+            else:
+                self._mxu_plan = ps.prepare_mxu_data(
+                    data.users, data.items, data.values, data.num_users,
+                    data.num_items, user_block=512, item_block=1024,
+                    chunk=640, shuffle_seed=self.random_seed)
+            self._mxu_interpret = mode.endswith("interpret")
             self._mxu_new_of_old = jnp.asarray(self._mxu_plan.new_of_old)
             self._blocked = None
             self._freq = (jnp.zeros(0), jnp.zeros(0))
@@ -318,10 +330,18 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
         order = plan.epoch_order(
             (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
-        We, He = ps.sgd_epoch_mxu(
-            We, He, plan.packed, order, jnp.asarray(hp), rates,
-            meta=plan.meta(fe), loss=self.loss_id, biased=self.BIASED,
-            interpret=getattr(self, "_mxu_interpret", False))
+        if isinstance(plan, ps.MxuTiledPlan):
+            We, He = ps.sgd_epoch_mxu_tiled(
+                We, He, plan.packed, order, plan.slab_bases(),
+                jnp.asarray(hp), rates, meta=plan.meta(fe),
+                num_slabs=plan.num_slabs, loss=self.loss_id,
+                biased=self.BIASED,
+                interpret=getattr(self, "_mxu_interpret", False))
+        else:
+            We, He = ps.sgd_epoch_mxu(
+                We, He, plan.packed, order, jnp.asarray(hp), rates,
+                meta=plan.meta(fe), loss=self.loss_id, biased=self.BIASED,
+                interpret=getattr(self, "_mxu_interpret", False))
         self.W_ext, self.H_ext = ps.tables_mxu_to_std(
             We, He, self._mxu_new_of_old,
             num_users_pad=self.W_ext.shape[0], fe_std=fe_std)

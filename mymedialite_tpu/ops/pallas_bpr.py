@@ -1,4 +1,5 @@
-"""MXU-blocked BPR epoch: triple updates as one-hot systolic matmuls.
+"""MXU-blocked BPR epoch: triple updates as one-hot systolic matmuls,
+with negative sampling fused into the kernel.
 
 TPU-native fast path for the reference's BPR inner loop
 (``BPRMF.cs:152-374``: per-triple SampleTriple + UpdateFactors), built on
@@ -12,13 +13,24 @@ triples/s. Here gathers become ``one_hot @ block`` and scatter-adds
 Layout (reuses pallas_sgd.MxuPlan): positive events (u, i) are bucketed
 once by (user_block x item_block) with popularity-round-robin item
 blocks; each chunk of C events shares one user block and one positive
-item block. Negatives are resampled EVERY epoch on device
-(:func:`sample_negatives_mxu`): each chunk draws one negative item block
-(block probability proportional to its real-item count, so the marginal
-over items is exactly uniform), then per-slot fixed-trial rejection
-sampling against the user's history within that block. The whole item
-table lives in VMEM for the epoch; i- and j-blocks are dynamic slices
-of it.
+item block. The whole item table lives in VMEM for the epoch; i- and
+j-blocks are dynamic slices of it.
+
+Negative sampling is FUSED into the epoch kernel (an epoch of XLA-side
+sampling — 8 trials of binary search over the 20M-event history — costs
+~13s at the bench shape, 100x the kernel itself): per chunk, one
+negative item block jb is drawn per epoch on the host (``jb = r % n_ib``
+with r ~ U[0, num_items): P(block) = nvalid_b / num_items EXACTLY,
+because the popularity-round-robin packing deals items to blocks
+0,1,2,... — proven structurally in tests), and per slot the kernel
+rejection-samples a local index within jb against the user's positives
+in that block: random bits stream in (generated in one cheap fused XLA
+op per epoch, so the identical code path runs under interpret mode on
+CPU), candidates are ``bits % nvalid_jb``, and membership is a
+vectorized all-pairs compare against the (user_block x jb) bucket's
+event keys DMA'd to VMEM — the bucket's events ARE exactly these users'
+positives in that block. Failed slots (all trials positive) get weight 0
+with probability ~density^T (reference rejection loop BPRMF.cs:279-284).
 
 Sampling semantics vs the reference's regimes (BPRMF.cs:183-321):
 
@@ -44,11 +56,13 @@ block matches uniform-over-(block minus history). Bias: for users whose
 history is dense in some block the conditional negative distribution
 shifts by O(|I_u|/I) — negligible at real densities. Validation lives in
 tests/test_pallas_bpr.py: interpret-mode epoch vs a numpy oracle of the
-reference update rule (incl. the bias column and the hinge variant),
-structural proof of the block-marginal uniformity claim, chi-square of
-the per-user negative marginal against the exact rejection formula, and
+reference update rule (incl. the bias column and the hinge variant);
+bit-exact equality of the kernel's sampled negatives (debug output)
+against the pure-XLA mirror :func:`sample_negatives_from_bits`;
+structural proof of the block-marginal uniformity claim; chi-square of
+the per-user negative marginal against the exact rejection formula; and
 the uniform-user importance weights against the reference's expected
-per-event visit counts; model-level coverage (plan engages, ranking
+per-event visit counts. Model-level coverage (plan engages, ranking
 learned, plan invalidation on AddFeedback) in tests/test_models_item.py
 TestMXUBPREpoch.
 """
@@ -63,15 +77,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mymedialite_tpu.ops.bpr import _segment_contains
 from mymedialite_tpu.ops.pallas_sgd import (
     MxuPlan, _round_up, mxu_supported, prepare_mxu_data,
 )
 
 __all__ = [
-    "prepare_bpr_mxu", "sample_negatives_mxu", "bpr_mxu_column_rates",
-    "bpr_epoch_mxu", "bpr_tables_to_mxu", "bpr_tables_from_mxu",
-    "mxu_supported",
+    "prepare_bpr_mxu", "epoch_negative_plan", "epoch_random_bits",
+    "sample_negatives_from_bits", "bpr_mxu_column_rates", "bpr_epoch_mxu",
+    "bpr_tables_to_mxu", "bpr_tables_from_mxu", "mxu_supported",
 ]
 
 
@@ -83,14 +96,17 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
                     item_block: int = 1024, chunk: int = 640,
                     shuffle_seed=0, num_neg_trials: int = 8):
     """Bucket the positive-event stream (like prepare_mxu_data for
-    ratings) and build the device-side negative-sampling state.
+    ratings) and build the kernel's negative-sampling state.
 
     Returns (plan, neg_state, neg_meta):
       plan: pallas_sgd.MxuPlan whose value slot carries the per-event
         base weight (1 for uniform-pair, the uniform-user importance
         weight otherwise);
-      neg_state: device arrays for sample_negatives_mxu;
-      neg_meta: hashable static tuple for sample_negatives_mxu.
+      neg_state: dict with ``keys_tbl`` [n_buckets, Kcap] int32 device
+        membership keys (u_loc * IB + i_loc of each bucket's events, -1
+        padded) and ``nvalid`` (host int32 [n_iblocks], real items per
+        negative block);
+      neg_meta: (n_iblocks, Kcap, num_neg_trials, num_items) static.
     """
     users = np.asarray(feedback.users, dtype=np.int32)
     items = np.asarray(feedback.items, dtype=np.int32)
@@ -118,74 +134,84 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     # holds items with new_id in [b*IB, b*IB + nvalid_b), contiguous by
     # construction (pallas_sgd.prepare_mxu_data:134-141)
     n_ib, IB = plan.n_iblocks, plan.item_block
-    nvalid = np.zeros(n_ib, np.int32)
     b_of_new = np.arange(plan.i_pad) // IB
-    nvalid_all = np.bincount(b_of_new, weights=(plan.old_of_new >= 0),
-                             minlength=n_ib).astype(np.int32)
-    nvalid[:] = nvalid_all
+    nvalid = np.bincount(b_of_new, weights=(plan.old_of_new >= 0),
+                         minlength=n_ib).astype(np.int32)
 
-    max_count = int(counts.max()) if counts.size else 1
-    depth = max(int(np.ceil(np.log2(max(max_count, 1) + 1))) + 1, 1)
-    neg_state = dict(
-        ub_c=jnp.asarray(plan.ub_c),
-        hist_items=jnp.asarray(csr.keys.astype(np.int32)),
-        indptr=jnp.asarray(csr.indptr.astype(np.int32)),
-        old_of_new=jnp.asarray(np.maximum(plan.old_of_new, 0)),
-        nvalid=jnp.asarray(nvalid),
-        u_loc=plan.packed[:, 0, :],
-    )
-    neg_meta = (plan.num_chunks, plan.chunk, plan.user_block, IB, n_ib,
-                I, U, num_neg_trials, depth)
+    # per-bucket membership keys: bucket (ub, ib)'s events are exactly
+    # the positives of ublock-ub users inside item block ib
+    packed = np.asarray(plan.packed)                 # [nc, 4, C]
+    u_loc = packed[:, 0]
+    i_loc = packed[:, 1]
+    w = packed[:, 3].view(np.float32)
+    bkt_c = (plan.ub_c.astype(np.int64) * n_ib + plan.ib_c)  # [nc]
+    real = w > 0
+    keys = (u_loc.astype(np.int64) * IB + i_loc)[real].astype(np.int32)
+    bkt_r = np.broadcast_to(bkt_c[:, None], u_loc.shape)[real]
+    n_bkt = plan.n_ublocks * n_ib
+    cnt = np.bincount(bkt_r, minlength=n_bkt)
+    Kcap = _round_up(max(int(cnt.max()) if cnt.size else 1, 1), 128)
+    # rows padded to a multiple of 8: the kernel streams 8-row-aligned
+    # key blocks (Pallas block-shape constraint) and selects the row
+    keys_tbl = np.full((_round_up(n_bkt, 8), Kcap), -1, np.int32)
+    order = np.argsort(bkt_r, kind="stable")
+    off = np.concatenate([[0], np.cumsum(cnt)])
+    sb = bkt_r[order]
+    within = np.arange(keys.size) - off[sb]
+    keys_tbl[sb, within] = keys[order]
+
+    neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid)
+    neg_meta = (n_ib, Kcap, num_neg_trials, I, IB)
     return plan, neg_state, neg_meta
 
 
-# ---------------------------------------------------------------------------
-# per-epoch on-device negative sampling
-# ---------------------------------------------------------------------------
+def epoch_negative_plan(plan: MxuPlan, nvalid: np.ndarray,
+                        ub_visit: np.ndarray, num_items: int, seed):
+    """Per-epoch negative-block draw, host side, in VISIT order.
+
+    jb = r % n_ib with r ~ U[0, num_items): P(block b) = nvalid_b / I
+    exactly (round-robin packing alignment, tests). Returns device
+    (jb [nc], nval [nc], bkt [nc]) where bkt indexes keys_tbl rows."""
+    rng = np.random.default_rng(seed)
+    nc = plan.num_chunks
+    r = rng.integers(0, max(num_items, 1), nc)
+    jb = (r % plan.n_iblocks).astype(np.int32)
+    nval = np.maximum(nvalid[jb], 1).astype(np.int32)
+    bkt = (np.asarray(ub_visit, dtype=np.int64)
+           * plan.n_iblocks + jb).astype(np.int32)
+    return jnp.asarray(jb), jnp.asarray(nval), jnp.asarray(bkt)
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "trials", "C"))
+def epoch_random_bits(key, *, nc: int, trials: int, C: int):
+    """[nc, trials, C] int32 random bits for the kernel's rejection
+    sampler — one fused XLA op, identical path on TPU and interpret."""
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (nc, trials, C), jnp.uint32), jnp.int32)
+
 
 @functools.partial(jax.jit, static_argnames=("meta",))
-def sample_negatives_mxu(neg_state, key, *, meta):
-    """Fresh negatives for every chunk slot, on device.
+def sample_negatives_from_bits(keys_tbl, bits, jb, nval, bkt, u_loc, *,
+                               meta):
+    """Pure-XLA mirror of the kernel's fused rejection sampler —
+    bit-exact on the same inputs (asserted by tests); used by the
+    distribution tests and the numerics oracle.
 
-    Per chunk: one negative item block jb (P(b) = nvalid_b / num_items,
-    exactly uniform marginal over real items), then per slot fixed-trial
-    rejection sampling of a local index within that block against the
-    slot's user history (reference rejection loop BPRMF.cs:279-284;
-    failed slots get weight 0, probability ~density^T).
-
-    Returns (jb [nc] int32, neg [nc, 2, C] int32) where neg rows are
-    (j_loc, weight_bits).
-    """
-    nc, C, UB, IB, n_ib, num_items, num_users, trials, depth = meta
-    u_glob = jnp.minimum(
-        neg_state["ub_c"][:, None] * UB + neg_state["u_loc"],
-        max(num_users - 1, 0))                                # [nc, C]
-    kb, kt = jax.random.split(key)
-    r = jax.random.randint(kb, (nc,), 0, max(num_items, 1), dtype=jnp.int32)
-    jb = r % n_ib                                             # [nc]
-    nval_b = jnp.maximum(neg_state["nvalid"][jb], 1)          # [nc]
-    hist, indptr = neg_state["hist_items"], neg_state["indptr"]
-    old_of_new = neg_state["old_of_new"]
-    uf = u_glob.reshape(-1)
-
-    def trial(t, state):
-        j_loc, ok = state
-        ktr = jax.random.fold_in(kt, t)
-        cand = (jax.random.randint(ktr, (nc, C), 0, 1 << 30,
-                                   dtype=jnp.int32)
-                % nval_b[:, None])                            # [nc, C]
-        j_old = old_of_new[jb[:, None] * IB + cand]
-        is_pos = _segment_contains(hist, indptr, uf, j_old.reshape(-1),
-                                   depth).reshape(nc, C)
+    bits [nc, T, C] int32 (visit order), u_loc [nc, C] (visit order).
+    Returns (j_loc [nc, C] int32, ok [nc, C] bool)."""
+    n_ib, Kcap, trials, num_items, IB = meta
+    keys = keys_tbl[bkt]                               # [nc, Kcap]
+    nc, C = u_loc.shape
+    j_loc = jnp.zeros((nc, C), jnp.int32)
+    ok = jnp.zeros((nc, C), bool)
+    for t in range(trials):
+        cand = (bits[:, t, :] & 0x7FFFFFFF) % nval[:, None]
+        ckey = u_loc * IB + cand
+        is_pos = jnp.any(keys[:, :, None] == ckey[:, None, :], axis=1)
         take = jnp.logical_and(~ok, ~is_pos)
         j_loc = jnp.where(take, cand, j_loc)
-        return j_loc, ok | ~is_pos
-
-    j_loc, ok = jax.lax.fori_loop(
-        0, trials, trial,
-        (jnp.zeros((nc, C), jnp.int32), jnp.zeros((nc, C), bool)))
-    w_bits = jax.lax.bitcast_convert_type(ok.astype(jnp.float32), jnp.int32)
-    return jb, jnp.stack([j_loc, w_bits], axis=1)
+        ok = ok | ~is_pos
+    return j_loc, ok
 
 
 # ---------------------------------------------------------------------------
@@ -245,11 +271,14 @@ def bpr_tables_from_mxu(W_mxu, H_mxu, new_of_old, *, num_users: int,
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, row_ref,   # scalar prefetch
-                    w_in_ref, h_in_ref, data_ref, neg_ref, rates_ref,
-                    w_out_ref, h_out_ref,
+def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
+                    row_ref,
+                    w_in_ref, h_in_ref, data_ref, jkeys_ref, rand_ref,
+                    rates_ref,
+                    w_out_ref, h_out_ref, neg_out_ref,
                     h_vmem, sem_in, sem_out, *,
-                    soft_margin: bool, C: int, UB: int, IB: int, mxu_dtype):
+                    soft_margin: bool, C: int, UB: int, IB: int,
+                    trials: int, mxu_dtype):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
 
@@ -273,9 +302,28 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, row_ref,   # scalar prefetch
     i = d[1:2]                             # [1, C] local positive index
     base_w = pltpu.bitcast(d[2:3], jnp.float32)   # per-event weight
     pad_w = pltpu.bitcast(d[3:4], jnp.float32)    # 0 on padding slots
-    nd = neg_ref[0]                        # [2, C] int32
-    j = nd[0:1]                            # [1, C] local negative index
-    neg_w = pltpu.bitcast(nd[1:2], jnp.float32)   # 0 if rejection failed
+
+    # --- fused negative sampling (see module docstring) ---
+    # membership keys of bucket (ub, jb): these users' positives in the
+    # negative block, as u_loc * IB + i_loc; -1 padding never matches.
+    # The block fetches 8 bucket rows (block-shape alignment); select ours
+    krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]  # [1, Kcap]
+    kt = jnp.transpose(krow, (1, 0))               # [Kcap, 1]
+    nv = nval_ref[c]
+    rnd = rand_ref[0]                             # [T, C] int32
+    ukey = u * IB
+    j = jnp.zeros((1, C), jnp.int32)
+    ok = jnp.zeros((1, C), jnp.bool_)
+    for t in range(trials):
+        cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
+        is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
+        take = jnp.logical_and(~ok, ~is_pos)
+        j = jnp.where(take, cand, j)
+        ok = jnp.logical_or(ok, ~is_pos)
+    neg_w = ok.astype(jnp.float32)                # 0 if all trials failed
+    neg_out_ref[0, 0:1, :] = j
+    neg_out_ref[0, 1:2, :] = pltpu.bitcast(neg_w, jnp.int32)
+
     wgt = base_w * pad_w * neg_w           # [1, C]
 
     Wb = w_out_ref[:]                      # [UB, fe] f32
@@ -343,42 +391,60 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, row_ref,   # scalar prefetch
     jax.jit,
     static_argnames=("meta", "soft_margin", "mxu_dtype", "interpret"),
     donate_argnames=("W_ext", "H_ext"))
-def bpr_epoch_mxu(W_ext, H_ext, data, neg, order, jb_layout, rates, *,
-                  meta, soft_margin: bool = False, mxu_dtype: str = "bf16",
-                  interpret: bool = False):
-    """One BPR epoch: |events| triple updates in chunks of C.
+def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, rand_bits, order, jb, nval,
+                  bkt, rates, *, meta, soft_margin: bool = False,
+                  mxu_dtype: str = "bf16", interpret: bool = False):
+    """One BPR epoch: |events| triple updates in chunks of C, negatives
+    sampled inside the kernel.
 
-    meta = plan.meta(fe); data = plan.packed [nc, 4, C]; neg/jb_layout
-    from sample_negatives_mxu (layout order); order = plan.epoch_order
-    (seed); rates = [fe, 6] from bpr_mxu_column_rates.
-    """
-    nc, C, UB, IB, n_ub, i_pad, fe = meta
+    meta = plan.meta(fe) + (Kcap, trials); data = plan.packed
+    [nc, 4, C]; jkeys = neg_state['keys_tbl']; rand_bits =
+    epoch_random_bits(...) [nc, trials, C] (visit order); order =
+    plan.epoch_order(seed); (jb, nval, bkt) = epoch_negative_plan(...)
+    (visit order); rates = [fe, 6] from bpr_mxu_column_rates.
+
+    Returns (W_ext, H_ext, neg_dbg) where neg_dbg [nc, 2, C] (visit
+    order) carries the sampled (j_loc, ok_bits) — bit-exact equal to
+    sample_negatives_from_bits on the same inputs (tested)."""
+    nc, C, UB, IB, n_ub, i_pad, fe, Kcap, trials = meta
     ub, ib, row = order
-    jb_visit = jb_layout[row]           # negative block per VISITED chunk
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
     kernel = functools.partial(
         _mxu_bpr_kernel, soft_margin=soft_margin, C=C, UB=UB, IB=IB,
-        mxu_dtype=dt)
+        trials=trials, mxu_dtype=dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((UB, fe), lambda c, ub, ib, jb, row: (ub[c], 0),
+            pl.BlockSpec((UB, fe),
+                         lambda c, ub, ib, jb, nval, bkt, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 4, C), lambda c, ub, ib, jb, row: (row[c], 0, 0),
+            pl.BlockSpec((1, 4, C),
+                         lambda c, ub, ib, jb, nval, bkt, row:
+                         (row[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, C), lambda c, ub, ib, jb, row: (row[c], 0, 0),
+            pl.BlockSpec((8, Kcap),
+                         lambda c, ub, ib, jb, nval, bkt, row:
+                         (bkt[c] // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fe, 6), lambda c, ub, ib, jb, row: (0, 0),
+            pl.BlockSpec((1, trials, C),
+                         lambda c, ub, ib, jb, nval, bkt, row: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 6),
+                         lambda c, ub, ib, jb, nval, bkt, row: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((UB, fe), lambda c, ub, ib, jb, row: (ub[c], 0),
+            pl.BlockSpec((UB, fe),
+                         lambda c, ub, ib, jb, nval, bkt, row: (ub[c], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, C),
+                         lambda c, ub, ib, jb, nval, bkt, row: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((i_pad, fe), jnp.float32),
@@ -387,15 +453,17 @@ def bpr_epoch_mxu(W_ext, H_ext, data, neg, order, jb_layout, rates, *,
         ],
     )
 
-    W_out, H_out = pl.pallas_call(
+    W_out, H_out, neg_dbg = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_ub * UB, fe), jnp.float32),
             jax.ShapeDtypeStruct((i_pad, fe), jnp.float32),
+            jax.ShapeDtypeStruct((nc, 2, C), jnp.int32),
         ],
-        # inputs: 0..3 scalar prefetch, 4 = W, 5 = H
-        input_output_aliases={4: 0, 5: 1},
+        # inputs: 0..5 scalar prefetch, 6 = W, 7 = H
+        input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-    )(ub, ib, jb_visit, row, W_ext, H_ext, data, neg, rates)
-    return W_out, H_out
+    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, rand_bits,
+      rates)
+    return W_out, H_out, neg_dbg

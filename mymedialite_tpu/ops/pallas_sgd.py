@@ -427,3 +427,287 @@ def mxu_supported(num_items: int, num_factors: int,
     fe = max(64, _round_up(num_factors + 2, 8))
     n_ib = max((num_items + item_block - 1) // item_block, 1)
     return n_ib * item_block * fe * 4 <= VMEM_ITEM_TABLE_BYTES
+
+
+# ---------------------------------------------------------------------------
+# HBM-tiled variant: catalogs beyond the VMEM budget (KDD-Cup 624k items)
+# ---------------------------------------------------------------------------
+#
+# The epoch becomes S slab passes: the item table is partitioned into S
+# contiguous slabs of `slab_blocks` item blocks; pass s runs the SAME
+# kernel over the chunks whose item block lives in slab s, with only that
+# slab resident in VMEM (manual DMA in/out, slab base row scalar-
+# prefetched so Mosaic compiles the kernel once for all passes). Each
+# pass is its own pallas_call, so XLA's dataflow — not DMA-queue luck —
+# orders every slab writeback before the next pass reads the table, and
+# user blocks are still visited contiguously within each pass (no
+# revisit hazard on the aliased W output either). Per-epoch overhead vs
+# the resident kernel: the user table streams S times (~123MB x S at the
+# Netflix shape, a few ms at HBM bandwidth) and the chunk grid pads to
+# the largest slab's chunk count.
+
+
+@dataclass
+class MxuTiledPlan:
+    """Host-side layout for the slab-tiled MXU epoch."""
+    num_slabs: int
+    nc_pad: int              # per-slab grid size (max chunks over slabs)
+    chunk: int
+    user_block: int
+    item_block: int
+    slab_blocks: int         # item blocks per slab
+    n_ublocks: int
+    n_iblocks: int
+    num_users: int
+    num_items: int
+    n_ratings: int
+    # [nc + 1, 4, C]: all real chunks + one all-zero pad chunk (index nc)
+    packed: jnp.ndarray = field(repr=False)
+    ub_c: np.ndarray = field(repr=False)      # [nc] layout order
+    ib_c: np.ndarray = field(repr=False)
+    rows_by_slab: list = field(repr=False)    # chunk indices per slab
+    new_of_old: np.ndarray = field(repr=False)
+    old_of_new: np.ndarray = field(repr=False)
+
+    @property
+    def u_pad(self) -> int:
+        return self.n_ublocks * self.user_block
+
+    @property
+    def slab_rows(self) -> int:
+        return self.slab_blocks * self.item_block
+
+    @property
+    def i_pad(self) -> int:
+        # table padded to whole slabs
+        return self.num_slabs * self.slab_rows
+
+    def meta(self, fe: int) -> tuple:
+        return (self.nc_pad, self.chunk, self.user_block, self.item_block,
+                self.n_ublocks, self.slab_rows, fe)
+
+    def slab_bases(self):
+        return jnp.asarray(
+            (np.arange(self.num_slabs) * self.slab_rows)
+            .astype(np.int32).reshape(self.num_slabs, 1))
+
+    def epoch_order(self, seed) -> tuple:
+        """Per-epoch visit order, [S, nc_pad] each of (ub, ib_rel, row):
+        within each slab, chunks stay grouped by ublock (contiguous
+        user-block residency), randomized within each group; pad entries
+        repeat the last real ublock (no extra W block swap) and point at
+        the all-zero pad chunk."""
+        S, nc_pad = self.num_slabs, self.nc_pad
+        zero_row = self.packed.shape[0] - 1
+        rng = None if seed is None else np.random.default_rng(seed)
+        ub = np.zeros((S, nc_pad), np.int32)
+        ib = np.zeros((S, nc_pad), np.int32)
+        row = np.full((S, nc_pad), zero_row, np.int32)
+        for s, rows in enumerate(self.rows_by_slab):
+            if rows.size == 0:
+                continue
+            if rng is None:
+                perm = np.arange(rows.size)
+            else:
+                perm = np.argsort(self.ub_c[rows].astype(np.float64) * 2.0
+                                  + rng.random(rows.size), kind="stable")
+            r = rows[perm]
+            ub[s, :r.size] = self.ub_c[r]
+            ib[s, :r.size] = self.ib_c[r] - s * self.slab_blocks
+            row[s, :r.size] = r
+            ub[s, r.size:] = self.ub_c[r[-1]]
+        return jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(row)
+
+
+def default_slab_blocks(num_factors: int, item_block: int = 1024) -> int:
+    """Largest slab (in item blocks) fitting the VMEM budget."""
+    fe = max(64, _round_up(num_factors + 2, 8))
+    return max(VMEM_ITEM_TABLE_BYTES // (item_block * fe * 4), 1)
+
+
+def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
+                      *, user_block: int = 512, item_block: int = 1024,
+                      chunk: int = 640, slab_blocks: int = 8,
+                      shuffle_seed=0) -> MxuTiledPlan:
+    """prepare_mxu_data + regroup the chunks into item-table slabs."""
+    plan = prepare_mxu_data(users, items, values, num_users, num_items,
+                            user_block=user_block, item_block=item_block,
+                            chunk=chunk, shuffle_seed=shuffle_seed)
+    B0 = min(slab_blocks, plan.n_iblocks)
+    S = (plan.n_iblocks + B0 - 1) // B0
+    slab_of = plan.ib_c // B0
+    # layout order is (ub, ib)-sorted, so per-slab subsequences stay
+    # grouped by ublock
+    rows_by_slab = [np.nonzero(slab_of == s)[0] for s in range(S)]
+    nc_pad = max(max((r.size for r in rows_by_slab), default=1), 1)
+    zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
+    return MxuTiledPlan(
+        num_slabs=S, nc_pad=nc_pad, chunk=plan.chunk,
+        user_block=plan.user_block, item_block=plan.item_block,
+        slab_blocks=B0, n_ublocks=plan.n_ublocks, n_iblocks=plan.n_iblocks,
+        num_users=num_users, num_items=num_items, n_ratings=plan.n_ratings,
+        packed=jnp.concatenate([plan.packed, zero]),
+        ub_c=plan.ub_c, ib_c=plan.ib_c, rows_by_slab=rows_by_slab,
+        new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
+
+
+def _mxu_sgd_tiled_kernel(sb_ref, ub_ref, ib_ref, row_ref,  # scalar prefetch
+                          w_in_ref, h_in_ref, data_ref, rates_ref, hp_ref,
+                          w_out_ref, h_out_ref,
+                          h_vmem, sem_in, sem_out, *,
+                          loss: int, biased: bool, C: int, UB: int, IB: int,
+                          slab_rows: int, mxu_dtype):
+    """One slab pass: identical math to _mxu_sgd_kernel, but only
+    ``slab_rows`` of the item table (starting at scalar-prefetched row
+    ``sb_ref[0]``) are DMA'd into VMEM; ib indices are slab-relative."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            h_in_ref.at[pl.ds(sb_ref[0], slab_rows)], h_vmem, sem_in)
+        cp.start()
+        cp.wait()
+
+    cur = ub_ref[c]
+    prev = ub_ref[jnp.maximum(c - 1, 0)]
+
+    @pl.when((c == 0) | (cur != prev))
+    def _():
+        w_out_ref[:] = w_in_ref[:]
+
+    ib = ib_ref[c]
+    d = data_ref[0]
+    u = d[0:1]
+    i = d[1:2]
+    v = pltpu.bitcast(d[2:3], jnp.float32)
+    wt = pltpu.bitcast(d[3:4], jnp.float32)
+
+    Wb = w_out_ref[:]
+    Hb = h_vmem[pl.ds(ib * IB, IB), :]
+
+    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
+           == u).astype(mxu_dtype)
+    pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
+           == i).astype(mxu_dtype)
+
+    wu = jax.lax.dot_general(
+        Wb.astype(mxu_dtype), put, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hi = jax.lax.dot_general(
+        Hb.astype(mxu_dtype), pit, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    score = jnp.sum(wu * hi, axis=0, keepdims=True)
+    gb = hp_ref[0, 0]
+    if biased:
+        sig = jax.nn.sigmoid(score + gb)
+        pred = hp_ref[0, 1] + sig * hp_ref[0, 2]
+        g_com = _gradient_common(loss, v - pred, sig, hp_ref[0, 2]) * wt
+    else:
+        g_com = (v - (score + gb)) * wt
+
+    w_lr = rates_ref[:, 0:1]
+    w_reg = rates_ref[:, 1:2]
+    h_lr = rates_ref[:, 2:3]
+    h_reg = rates_ref[:, 3:4]
+    delta_w = w_lr * (g_com * hi - wt * w_reg * wu)
+    delta_h = h_lr * (g_com * wu - wt * h_reg * hi)
+
+    w_out_ref[:] = Wb + jax.lax.dot_general(
+        put, delta_w.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h_vmem[pl.ds(ib * IB, IB), :] = Hb + jax.lax.dot_general(
+        pit, delta_h.astype(mxu_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            h_vmem, h_out_ref.at[pl.ds(sb_ref[0], slab_rows)], sem_out)
+        cp.start()
+        cp.wait()
+
+
+def _slab_pass(W_ext, H_ext, data, ub, ib, row, slab_base, hp_vec, rates, *,
+               meta, loss, biased, dt, interpret):
+    nc, C, UB, IB, n_ub, slab_rows, fe = meta
+    kernel = functools.partial(
+        _mxu_sgd_tiled_kernel, loss=loss, biased=biased, C=C, UB=UB, IB=IB,
+        slab_rows=slab_rows, mxu_dtype=dt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((UB, fe), lambda c, sb, ub, ib, row: (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 4, C), lambda c, sb, ub, ib, row: (row[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 4), lambda c, sb, ub, ib, row: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda c, sb, ub, ib, row: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((UB, fe), lambda c, sb, ub, ib, row: (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, fe), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(W_ext.shape, jnp.float32),
+            jax.ShapeDtypeStruct(H_ext.shape, jnp.float32),
+        ],
+        # inputs: 0..3 scalar prefetch, 4 = W, 5 = H
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )(slab_base, ub, ib, row, W_ext, H_ext, data, rates, hp_vec)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "num_slabs", "loss", "biased", "mxu_dtype",
+                     "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, slab_bases, hp_vec,
+                        rates, *, meta, num_slabs: int, loss: int,
+                        biased: bool, mxu_dtype: str = "bf16",
+                        interpret: bool = False):
+    """One epoch over ``num_slabs`` slab passes. meta = plan.meta(fe);
+    data = plan.packed; order = plan.epoch_order(seed) ([S, nc_pad]
+    arrays); slab_bases = plan.slab_bases(). The slab passes chain
+    through XLA dataflow, so every writeback is ordered before the next
+    pass's reads; the kernel is identical across passes (one Mosaic
+    compile)."""
+    ub, ib, row = order
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    for s in range(num_slabs):
+        W_ext, H_ext = _slab_pass(
+            W_ext, H_ext, data, ub[s], ib[s], row[s], slab_bases[s],
+            hp_vec, rates, meta=meta, loss=loss, biased=biased, dt=dt,
+            interpret=interpret)
+    return W_ext, H_ext
+
+
+def mxu_tiled_supported(num_items: int, num_factors: int,
+                        item_block: int = 1024, slab_blocks: int = None,
+                        max_slabs: int = 128) -> bool:
+    """Whether the slab-tiled epoch applies: one slab in VMEM, catalog
+    within max_slabs slabs (pass-count, i.e. compile-unroll, bound)."""
+    if slab_blocks is None:
+        slab_blocks = default_slab_blocks(num_factors, item_block)
+    fe = max(64, _round_up(num_factors + 2, 8))
+    if slab_blocks * item_block * fe * 4 > VMEM_ITEM_TABLE_BYTES:
+        return False
+    n_ib = max((num_items + item_block - 1) // item_block, 1)
+    return (n_ib + slab_blocks - 1) // slab_blocks <= max_slabs

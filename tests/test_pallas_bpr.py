@@ -2,19 +2,22 @@
 production single-chip TPU path for BPRMF/SoftMarginRankingMF
 (models/bpr.py _mxu_mode).
 
-Three layers (VERDICT r2 #1):
+Layers (VERDICT r2 #1):
 - kernel numerics: interpret-mode f32 epoch vs a chunk-sequential numpy
   oracle of the reference update rule (BPRMF.cs:330-374 incl. the item
   bias, SoftMarginRankingMF.cs:60+ hinge) on the extended-table layout;
-- negative-sampler distributions (sample_negatives_mxu): the
-  block-marginal "exactly uniform" claim (jb = r % n_ib aligned with the
-  popularity-round-robin packing's remainder blocks), the exact per-user
-  negative marginal incl. fixed-trial rejection, and the
-  never-hits-a-positive invariant;
+- the kernel's FUSED negative sampler (debug output) is bit-exact equal
+  to the pure-XLA mirror sample_negatives_from_bits on the same bits;
+- sampler distributions: the block-marginal "exactly uniform" claim
+  (jb = r % n_ib aligned with the popularity-round-robin packing's
+  remainder blocks), the exact per-user negative marginal incl.
+  fixed-trial rejection, and the never-hits-a-positive invariant;
 - uniform-user importance weights (prepare_bpr_mxu): per-event weight
   |events| / (n_valid * |I_u|), the expected visit count of that event
   under one reference uniform-user epoch (BPRMF.cs:183-226).
 """
+
+import functools
 
 import numpy as np
 import pytest
@@ -46,7 +49,23 @@ def _prepared(feedback, uniform_user=True):
         chunk=8, shuffle_seed=3, num_neg_trials=8)
 
 
-def oracle_epoch(We, He, plan, order, jb_layout, neg, rates,
+def _epoch_negatives(plan, neg_state, neg_meta, order, bits_key, jb_seed):
+    """Everything the epoch consumes, plus the mirror's sampled
+    negatives (all in visit order)."""
+    n_ib, Kcap, trials, I, IB = neg_meta
+    row = np.asarray(order[2])
+    ub_visit = plan.ub_c[row]
+    jb, nval, bkt = pb.epoch_negative_plan(
+        plan, neg_state["nvalid"], ub_visit, I, jb_seed)
+    bits = pb.epoch_random_bits(bits_key, nc=plan.num_chunks,
+                                trials=trials, C=plan.chunk)
+    u_loc = jnp.asarray(np.asarray(plan.packed)[row][:, 0, :])
+    j_loc, ok = pb.sample_negatives_from_bits(
+        neg_state["keys_tbl"], bits, jb, nval, bkt, u_loc, meta=neg_meta)
+    return jb, nval, bkt, bits, np.asarray(j_loc), np.asarray(ok)
+
+
+def oracle_epoch(We, He, plan, order, jb, j_loc, ok_neg, rates,
                  soft_margin=False):
     """Chunk-sequential minibatch BPR in numpy (f32, exact): replicates
     the kernel's schedule — per chunk, all gathers read start-of-chunk
@@ -55,24 +74,21 @@ def oracle_epoch(We, He, plan, order, jb_layout, neg, rates,
     We = np.asarray(We).copy()
     He = np.asarray(He).copy()
     ub, ib, row = [np.asarray(x) for x in order]
-    jb_l = np.asarray(jb_layout)
+    jb = np.asarray(jb)
     packed = np.asarray(plan.packed)
-    neg = np.asarray(neg)
     UB, IB = plan.user_block, plan.item_block
     w_lr, w_reg, i_lr, i_reg, j_lr, j_reg = np.asarray(rates).T
     for c in range(plan.num_chunks):
-        r = row[c]
-        d = packed[r]
+        d = packed[row[c]]
         u = d[0]
         i = d[1]
         base_w = d[2].view(np.float32)
         pad_w = d[3].view(np.float32)
-        j = neg[r, 0]
-        neg_w = neg[r, 1].view(np.float32)
-        wgt = base_w * pad_w * neg_w
+        j = j_loc[c]
+        wgt = base_w * pad_w * ok_neg[c].astype(np.float32)
         ug = ub[c] * UB + u
         igl = ib[c] * IB + i
-        jgl = jb_l[r] * IB + j
+        jgl = jb[c] * IB + j
         wu, hi, hj = We[ug], He[igl], He[jgl]
         x = np.sum(wu * (hi - hj), axis=1)
         if soft_margin:
@@ -94,6 +110,7 @@ class TestEpochNumerics:
     @pytest.mark.parametrize("soft_margin", [False, True])
     def test_kernel_matches_numpy_oracle(self, feedback, soft_margin):
         plan, neg_state, neg_meta = _prepared(feedback)
+        n_ib, Kcap, trials, I, IB = neg_meta
         f = 6
         fe = 8
         rng = np.random.default_rng(0)
@@ -109,15 +126,21 @@ class TestEpochNumerics:
             u_pad=plan.u_pad, i_pad=plan.i_pad, fe=fe)
         rates = pb.bpr_mxu_column_rates(
             f, fe, 0.05, 0.0025, 0.0025, 0.00025, 0.01, True)
-        jb, neg = pb.sample_negatives_mxu(
-            neg_state, jax.random.PRNGKey(5), meta=neg_meta)
         order = plan.epoch_order(11)
+        jb, nval, bkt, bits, j_loc, ok = _epoch_negatives(
+            plan, neg_state, neg_meta, order, jax.random.PRNGKey(5), 17)
         He0 = np.asarray(He).copy()   # He/We are donated to the kernel
-        Wref, Href = oracle_epoch(We, He, plan, order, jb, neg, rates,
-                                  soft_margin=soft_margin)
-        Wk, Hk = pb.bpr_epoch_mxu(
-            We, He, plan.packed, neg, order, jb, rates, meta=plan.meta(fe),
+        Wref, Href = oracle_epoch(We, He, plan, order, jb, j_loc, ok,
+                                  rates, soft_margin=soft_margin)
+        Wk, Hk, neg_dbg = pb.bpr_epoch_mxu(
+            We, He, plan.packed, neg_state["keys_tbl"], bits, order, jb,
+            nval, bkt, rates, meta=plan.meta(fe) + (Kcap, trials),
             soft_margin=soft_margin, mxu_dtype="f32", interpret=True)
+        # the kernel's fused sampler is bit-exact vs the XLA mirror
+        neg_dbg = np.asarray(neg_dbg)
+        np.testing.assert_array_equal(neg_dbg[:, 0], j_loc)
+        np.testing.assert_array_equal(
+            neg_dbg[:, 1].view(np.float32), ok.astype(np.float32))
         assert np.abs(np.asarray(Wk) - Wref).max() < 1e-5
         assert np.abs(np.asarray(Hk) - Href).max() < 1e-5
         # the item-bias column (col f) must move: a nonzero-bias update
@@ -143,13 +166,32 @@ class TestEpochNumerics:
         np.testing.assert_array_equal(np.asarray(b1), bias)
 
 
-def _draw_negatives(neg_state, neg_meta, n_keys=1500, seed=0):
-    """[n_keys] vmapped sampler draws: jb [K, nc], neg [K, nc, 2, C]."""
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_keys)
-    fn = jax.jit(jax.vmap(
-        lambda k: pb.sample_negatives_mxu(neg_state, k, meta=neg_meta)))
-    jb, neg = fn(keys)
-    return np.asarray(jb), np.asarray(neg)
+def _draw_negatives(plan, neg_state, neg_meta, n_keys=1500, seed=0):
+    """n_keys independent epoch draws of the production sampler (the
+    XLA mirror of the kernel logic), identity visit order.
+    Returns (jb [K, nc], j_loc [K, nc, C], ok [K, nc, C])."""
+    n_ib, Kcap, trials, I, IB = neg_meta
+    nc, C = plan.num_chunks, plan.chunk
+    ub_visit = plan.ub_c
+    u_loc = jnp.asarray(np.asarray(plan.packed)[:, 0, :])
+    jbs, nvals, bkts = [], [], []
+    for k in range(n_keys):
+        jb, nval, bkt = pb.epoch_negative_plan(
+            plan, neg_state["nvalid"], ub_visit, I, seed * 1_000_003 + k)
+        jbs.append(jb)
+        nvals.append(nval)
+        bkts.append(bkt)
+    jb = jnp.stack(jbs)
+    nval = jnp.stack(nvals)
+    bkt = jnp.stack(bkts)
+    bits = jax.lax.bitcast_convert_type(
+        jax.random.bits(jax.random.PRNGKey(seed),
+                        (n_keys, nc, trials, C), jnp.uint32), jnp.int32)
+    fn = jax.jit(jax.vmap(functools.partial(
+        pb.sample_negatives_from_bits, neg_state["keys_tbl"],
+        meta=neg_meta), in_axes=(0, 0, 0, 0, None)))
+    j_loc, ok = fn(bits, jb, nval, bkt, u_loc)
+    return np.asarray(jb), np.asarray(j_loc), np.asarray(ok)
 
 
 class TestNegativeSampler:
@@ -159,37 +201,36 @@ class TestNegativeSampler:
         popularity-round-robin packing deals items to blocks 0,1,...,
         so block b holds exactly ceil((I - b)/n_ib) real items. The two
         must align structurally, or P(block) != nvalid_b/I."""
-        plan, neg_state, neg_meta = _prepared(feedback)
+        plan, neg_state, _ = _prepared(feedback)
         n_ib = plan.n_iblocks
         I = feedback.num_items
         m_b = np.bincount(np.arange(I) % n_ib, minlength=n_ib)
-        np.testing.assert_array_equal(m_b, np.asarray(neg_state["nvalid"]))
+        np.testing.assert_array_equal(m_b, neg_state["nvalid"])
 
     def test_block_marginal_uniform_over_items(self, feedback):
         plan, neg_state, neg_meta = _prepared(feedback)
-        jb, _ = _draw_negatives(neg_state, neg_meta, n_keys=4000)
+        jb, _, _ = _draw_negatives(plan, neg_state, neg_meta, n_keys=4000)
         n_ib = plan.n_iblocks
         obs = np.bincount(jb.reshape(-1), minlength=n_ib).astype(np.float64)
-        nvalid = np.asarray(neg_state["nvalid"], dtype=np.float64)
+        nvalid = neg_state["nvalid"].astype(np.float64)
         expected = nvalid / nvalid.sum() * obs.sum()
         p = stats.chisquare(obs, expected).pvalue
         assert p > 1e-4, (obs, expected, p)
 
     def test_negative_never_hits_positive(self, feedback):
         plan, neg_state, neg_meta = _prepared(feedback)
-        jb, neg = _draw_negatives(neg_state, neg_meta, n_keys=200)
-        nc, C, UB, IB = neg_meta[0], neg_meta[1], neg_meta[2], neg_meta[3]
+        n_ib, Kcap, trials, I, IB = neg_meta
+        jb, j_loc, ok = _draw_negatives(plan, neg_state, neg_meta,
+                                        n_keys=200)
         packed = np.asarray(plan.packed)
-        old_of_new = np.asarray(neg_state["old_of_new"])
-        ub_c = np.asarray(neg_state["ub_c"])
-        u_glob = ub_c[:, None] * UB + packed[:, 0]            # [nc, C]
-        pad_w = packed[:, 3].view(np.float32)                 # [nc, C]
+        old_of_new = np.maximum(plan.old_of_new, 0)
+        u_glob = plan.ub_c[:, None] * plan.user_block + packed[:, 0]
+        pad_w = packed[:, 3].view(np.float32)
         pos = {u: set(int(x) for x in feedback.items_by_user(u))
                for u in range(feedback.num_users)}
         for k in range(jb.shape[0]):
-            ok = neg[k, :, 1].view(np.float32) > 0
-            real = (pad_w > 0) & ok
-            j_old = old_of_new[jb[k][:, None] * IB + neg[k, :, 0]]
+            real = (pad_w > 0) & ok[k]
+            j_old = old_of_new[jb[k][:, None] * IB + j_loc[k]]
             for c, s in zip(*np.nonzero(real)):
                 assert int(j_old[c, s]) not in pos[int(u_glob[c, s])]
 
@@ -199,16 +240,15 @@ class TestNegativeSampler:
         where h_ub = |I_u intersect block b| (the chunk draws one block,
         then fixed-trial rejection within it)."""
         plan, neg_state, neg_meta = _prepared(feedback)
-        nc, C, UB, IB, n_ib, I, U, trials, _ = neg_meta
-        jb, neg = _draw_negatives(neg_state, neg_meta, n_keys=4000, seed=2)
+        n_ib, Kcap, trials, I, IB = neg_meta
+        jb, j_loc, okw = _draw_negatives(plan, neg_state, neg_meta,
+                                         n_keys=4000, seed=2)
         packed = np.asarray(plan.packed)
-        old_of_new = np.asarray(neg_state["old_of_new"])
-        new_of_old = np.asarray(plan.new_of_old)
-        nvalid = np.asarray(neg_state["nvalid"], dtype=np.float64)
-        ub_c = np.asarray(neg_state["ub_c"])
-        u_glob = ub_c[:, None] * UB + packed[:, 0]
+        old_of_new = np.maximum(plan.old_of_new, 0)
+        new_of_old = plan.new_of_old
+        nvalid = neg_state["nvalid"].astype(np.float64)
+        u_glob = plan.ub_c[:, None] * plan.user_block + packed[:, 0]
         pad_w = packed[:, 3].view(np.float32)
-        # pick the 3 users with the most real slots for power
         slots_of = {}
         for c, s in zip(*np.nonzero(pad_w > 0)):
             slots_of.setdefault(int(u_glob[c, s]), []).append((c, s))
@@ -218,7 +258,6 @@ class TestNegativeSampler:
             h_b = np.zeros(n_ib)
             for it in hist:
                 h_b[new_of_old[it] // IB] += 1
-            # expected per-item probability (by block)
             p_item = np.zeros(I)
             for b in range(n_ib):
                 avail = nvalid[b] - h_b[b]
@@ -231,20 +270,18 @@ class TestNegativeSampler:
                         p_item[it] = (nvalid[b] / I) * p_ok / avail
             cs = np.array([c for c, _ in slots_of[uid]])
             ss = np.array([s for _, s in slots_of[uid]])
-            j_loc = neg[:, cs, 0, ss]                        # [K, S]
-            okw = neg[:, cs, 1, ss].view(np.float32) > 0     # [K, S]
-            j_old = old_of_new[jb[:, cs] * IB + j_loc]       # [K, S]
-            vals = j_old[okw]
+            jl = j_loc[:, cs, ss]                            # [K, S]
+            okm = okw[:, cs, ss]                             # [K, S]
+            j_old = old_of_new[jb[:, cs] * IB + jl]          # [K, S]
+            vals = j_old[okm]
             obs = np.bincount(vals, minlength=I).astype(np.float64)
             keep = p_item > 0
             assert obs[~keep].sum() == 0
             n_draws = jb.shape[0] * len(cs)
             expected = p_item[keep] * n_draws
-            # condition both on success (chi-square over observed mass)
             expected = expected / expected.sum() * obs[keep].sum()
             p = stats.chisquare(obs[keep], expected).pvalue
             assert p > 1e-4, (uid, obs[keep], expected, p)
-            # and the success rate itself matches 1 - failure prob
             p_succ = p_item.sum()
             rate = obs.sum() / n_draws
             assert abs(rate - p_succ) < 4 * np.sqrt(
@@ -260,8 +297,7 @@ class TestUniformUserWeights:
         packed = np.asarray(plan.packed)
         base_w = packed[:, 2].view(np.float32)
         pad_w = packed[:, 3].view(np.float32)
-        ub_c = np.asarray(plan.ub_c)
-        u_glob = ub_c[:, None] * plan.user_block + packed[:, 0]
+        u_glob = plan.ub_c[:, None] * plan.user_block + packed[:, 0]
         counts = np.asarray(feedback.count_by_user, dtype=np.float64)
         n_events = len(feedback)
         valid = (counts > 0) & (counts < feedback.num_items)
