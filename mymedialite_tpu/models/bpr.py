@@ -56,14 +56,15 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         self._key = None
 
     def init_model(self):
+        from mymedialite_tpu.utils import rand
         f = self.feedback
         key = jax.random.PRNGKey(self.random_seed)
         self._key, ku, ki = jax.random.split(key, 3)
         self.params = dict(
-            user_factors=self.init_mean + self.init_stdev * jax.random.normal(
-                ku, (f.num_users, self.num_factors), dtype=jnp.float32),
-            item_factors=self.init_mean + self.init_stdev * jax.random.normal(
-                ki, (f.num_items, self.num_factors), dtype=jnp.float32),
+            user_factors=self.init_mean + self.init_stdev * rand.normal(
+                ku, (f.num_users, self.num_factors)),
+            item_factors=self.init_mean + self.init_stdev * rand.normal(
+                ki, (f.num_items, self.num_factors)),
         )
 
     def train(self):

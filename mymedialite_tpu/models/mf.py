@@ -162,10 +162,11 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self._key, ku, ki = jax.random.split(key, 3)
         self._key_pool = None
         U, I, f = data.num_users, data.num_items, self.num_factors
+        from mymedialite_tpu.utils import rand
         wu = self.init_mean + self.init_stdev * np.array(
-            jax.random.normal(ku, (U, f), dtype=jnp.float32))
+            rand.normal(ku, (U, f)))
         hi = self.init_mean + self.init_stdev * np.array(
-            jax.random.normal(ki, (I, f), dtype=jnp.float32))
+            rand.normal(ki, (I, f)))
         wu[data.count_by_user == 0] = 0.0
         hi[data.count_by_item == 0] = 0.0
         self.W_ext, self.H_ext = sgd.extend_tables(
@@ -332,10 +333,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
         if isinstance(plan, ps.MxuTiledPlan):
             We, He = ps.sgd_epoch_mxu_tiled(
-                We, He, plan.packed, order, plan.slab_bases(),
-                jnp.asarray(hp), rates, meta=plan.meta(fe),
-                num_slabs=plan.num_slabs, loss=self.loss_id,
-                biased=self.BIASED,
+                We, He, plan.packed, order, jnp.asarray(hp), rates,
+                meta=plan.meta(fe), num_slabs=plan.num_slabs,
+                loss=self.loss_id, biased=self.BIASED,
                 interpret=getattr(self, "_mxu_interpret", False))
         else:
             We, He = ps.sgd_epoch_mxu(

@@ -217,10 +217,9 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
         U_pad, I, f = self._U_pad, self._num_items(), self.num_factors
         seen_i = np.zeros(I, dtype=bool)
         seen_i[self.ratings.items] = True
-        q = self.init_mean + self.init_stdev * jax.random.normal(
-            kq, (I, f), dtype=jnp.float32)
-        y = self.init_mean + self.init_stdev * jax.random.normal(
-            ky, (I, f), dtype=jnp.float32)
+        from mymedialite_tpu.utils import rand
+        q = self.init_mean + self.init_stdev * rand.normal(kq, (I, f))
+        y = self.init_mean + self.init_stdev * rand.normal(ky, (I, f))
         q = jnp.where(jnp.asarray(seen_i)[:, None], q, 0.0)
         y = jnp.where(jnp.asarray(seen_i)[:, None], y, 0.0)
         self.params = dict(
@@ -231,8 +230,8 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
         if self.USE_P:
             seen_u = np.zeros(U_pad, dtype=bool)
             seen_u[self.ratings.users] = True
-            p = self.init_mean + self.init_stdev * jax.random.normal(
-                kp, (U_pad, f), dtype=jnp.float32)
+            p = self.init_mean + self.init_stdev * rand.normal(
+                kp, (U_pad, f))
             self.params["p"] = jnp.where(jnp.asarray(seen_u)[:, None], p, 0.0)
         self.current_learnrate = self.learn_rate
 

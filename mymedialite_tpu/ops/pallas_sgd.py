@@ -330,19 +330,12 @@ def _mxu_sgd_kernel(ub_ref, ib_ref, row_ref,      # scalar prefetch (SMEM)
         cp.wait()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("meta", "loss", "biased", "mxu_dtype", "interpret"),
-    donate_argnames=("W_ext", "H_ext"))
-def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
-                  meta, loss: int, biased: bool, mxu_dtype: str = "bf16",
-                  interpret: bool = False):
-    """One epoch. meta = plan.meta(fe); data = plan.packed; order = plan.epoch_order(seed); hp_vec = [1, 8] f32
-    (global_bias, min_rating, rating_range, ...); rates = [fe, 4] from
-    mxu_column_rates (already scaled by the current learn rate)."""
+def _mxu_epoch_call(W_ext, H_ext, data, ub, ib, row, hp_vec, rates, *,
+                    meta, loss: int, biased: bool, dt,
+                    interpret: bool):
+    """The pallas_call for one epoch pass (shared by the VMEM-resident
+    epoch and each pass of the slab-tiled epoch)."""
     nc, C, UB, IB, n_ub, i_pad, fe = meta
-    ub, ib, row = order
-    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
     kernel = functools.partial(
         _mxu_sgd_kernel, loss=loss, biased=biased, C=C, UB=UB, IB=IB,
@@ -386,6 +379,24 @@ def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
         interpret=interpret,
     )(ub, ib, row, W_ext, H_ext, data, rates, hp_vec)
     return W_out, H_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "loss", "biased", "mxu_dtype", "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def sgd_epoch_mxu(W_ext, H_ext, data, order, hp_vec, rates, *,
+                  meta, loss: int, biased: bool, mxu_dtype: str = "bf16",
+                  interpret: bool = False):
+    """One epoch. meta = plan.meta(fe); data = plan.packed; order =
+    plan.epoch_order(seed); hp_vec = [1, 8] f32 (global_bias,
+    min_rating, rating_range, ...); rates = [fe, 4] from
+    mxu_column_rates (already scaled by the current learn rate)."""
+    ub, ib, row = order
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    return _mxu_epoch_call(W_ext, H_ext, data, ub, ib, row, hp_vec, rates,
+                           meta=meta, loss=loss, biased=biased, dt=dt,
+                           interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("u_pad", "i_pad", "fe_mxu"))
@@ -486,11 +497,6 @@ class MxuTiledPlan:
         return (self.nc_pad, self.chunk, self.user_block, self.item_block,
                 self.n_ublocks, self.slab_rows, fe)
 
-    def slab_bases(self):
-        return jnp.asarray(
-            (np.arange(self.num_slabs) * self.slab_rows)
-            .astype(np.int32).reshape(self.num_slabs, 1))
-
     def epoch_order(self, seed) -> tuple:
         """Per-epoch visit order, [S, nc_pad] each of (ub, ib_rel, row):
         within each slab, chunks stay grouped by ublock (contiguous
@@ -519,10 +525,16 @@ class MxuTiledPlan:
         return jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(row)
 
 
+# the tiled epoch's slab budget: smaller than the resident kernel's item
+# table budget — Mosaic's scoped-VMEM accounting charges roughly 2x the
+# slab (scratch + ANY-space staging), and the scoped limit is 16MB
+TILED_SLAB_BYTES = 4 * 1024 * 1024
+
+
 def default_slab_blocks(num_factors: int, item_block: int = 1024) -> int:
-    """Largest slab (in item blocks) fitting the VMEM budget."""
+    """Largest slab (in item blocks) fitting the tiled VMEM budget."""
     fe = max(64, _round_up(num_factors + 2, 8))
-    return max(VMEM_ITEM_TABLE_BYTES // (item_block * fe * 4), 1)
+    return max(TILED_SLAB_BYTES // (item_block * fe * 4), 1)
 
 
 def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
@@ -551,151 +563,43 @@ def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
         new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
 
 
-def _mxu_sgd_tiled_kernel(sb_ref, ub_ref, ib_ref, row_ref,  # scalar prefetch
-                          w_in_ref, h_in_ref, data_ref, rates_ref, hp_ref,
-                          w_out_ref, h_out_ref,
-                          h_vmem, sem_in, sem_out, *,
-                          loss: int, biased: bool, C: int, UB: int, IB: int,
-                          slab_rows: int, mxu_dtype):
-    """One slab pass: identical math to _mxu_sgd_kernel, but only
-    ``slab_rows`` of the item table (starting at scalar-prefetched row
-    ``sb_ref[0]``) are DMA'd into VMEM; ib indices are slab-relative."""
-    c = pl.program_id(0)
-    nc = pl.num_programs(0)
-
-    @pl.when(c == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            h_in_ref.at[pl.ds(sb_ref[0], slab_rows)], h_vmem, sem_in)
-        cp.start()
-        cp.wait()
-
-    cur = ub_ref[c]
-    prev = ub_ref[jnp.maximum(c - 1, 0)]
-
-    @pl.when((c == 0) | (cur != prev))
-    def _():
-        w_out_ref[:] = w_in_ref[:]
-
-    ib = ib_ref[c]
-    d = data_ref[0]
-    u = d[0:1]
-    i = d[1:2]
-    v = pltpu.bitcast(d[2:3], jnp.float32)
-    wt = pltpu.bitcast(d[3:4], jnp.float32)
-
-    Wb = w_out_ref[:]
-    Hb = h_vmem[pl.ds(ib * IB, IB), :]
-
-    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
-           == u).astype(mxu_dtype)
-    pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
-           == i).astype(mxu_dtype)
-
-    wu = jax.lax.dot_general(
-        Wb.astype(mxu_dtype), put, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    hi = jax.lax.dot_general(
-        Hb.astype(mxu_dtype), pit, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    score = jnp.sum(wu * hi, axis=0, keepdims=True)
-    gb = hp_ref[0, 0]
-    if biased:
-        sig = jax.nn.sigmoid(score + gb)
-        pred = hp_ref[0, 1] + sig * hp_ref[0, 2]
-        g_com = _gradient_common(loss, v - pred, sig, hp_ref[0, 2]) * wt
-    else:
-        g_com = (v - (score + gb)) * wt
-
-    w_lr = rates_ref[:, 0:1]
-    w_reg = rates_ref[:, 1:2]
-    h_lr = rates_ref[:, 2:3]
-    h_reg = rates_ref[:, 3:4]
-    delta_w = w_lr * (g_com * hi - wt * w_reg * wu)
-    delta_h = h_lr * (g_com * wu - wt * h_reg * hi)
-
-    w_out_ref[:] = Wb + jax.lax.dot_general(
-        put, delta_w.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    h_vmem[pl.ds(ib * IB, IB), :] = Hb + jax.lax.dot_general(
-        pit, delta_h.astype(mxu_dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(c == nc - 1)
-    def _():
-        cp = pltpu.make_async_copy(
-            h_vmem, h_out_ref.at[pl.ds(sb_ref[0], slab_rows)], sem_out)
-        cp.start()
-        cp.wait()
-
-
-def _slab_pass(W_ext, H_ext, data, ub, ib, row, slab_base, hp_vec, rates, *,
-               meta, loss, biased, dt, interpret):
-    nc, C, UB, IB, n_ub, slab_rows, fe = meta
-    kernel = functools.partial(
-        _mxu_sgd_tiled_kernel, loss=loss, biased=biased, C=C, UB=UB, IB=IB,
-        slab_rows=slab_rows, mxu_dtype=dt)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((UB, fe), lambda c, sb, ub, ib, row: (ub[c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 4, C), lambda c, sb, ub, ib, row: (row[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fe, 4), lambda c, sb, ub, ib, row: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda c, sb, ub, ib, row: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((UB, fe), lambda c, sb, ub, ib, row: (ub[c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((slab_rows, fe), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(W_ext.shape, jnp.float32),
-            jax.ShapeDtypeStruct(H_ext.shape, jnp.float32),
-        ],
-        # inputs: 0..3 scalar prefetch, 4 = W, 5 = H
-        input_output_aliases={4: 0, 5: 1},
-        interpret=interpret,
-    )(slab_base, ub, ib, row, W_ext, H_ext, data, rates, hp_vec)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "num_slabs", "loss", "biased", "mxu_dtype",
                      "interpret"),
     donate_argnames=("W_ext", "H_ext"))
-def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, slab_bases, hp_vec,
-                        rates, *, meta, num_slabs: int, loss: int,
-                        biased: bool, mxu_dtype: str = "bf16",
-                        interpret: bool = False):
-    """One epoch over ``num_slabs`` slab passes. meta = plan.meta(fe);
-    data = plan.packed; order = plan.epoch_order(seed) ([S, nc_pad]
-    arrays); slab_bases = plan.slab_bases(). The slab passes chain
-    through XLA dataflow, so every writeback is ordered before the next
-    pass's reads; the kernel is identical across passes (one Mosaic
-    compile)."""
+def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
+                        meta, num_slabs: int, loss: int, biased: bool,
+                        mxu_dtype: str = "bf16", interpret: bool = False):
+    """One epoch over ``num_slabs`` slab passes: each pass runs the SAME
+    validated kernel as sgd_epoch_mxu with one item-table slab resident
+    in VMEM (meta's i_pad = plan.slab_rows), on that slab's chunks. The
+    slab is sliced/reassembled at the XLA level (static indices, ~10MB
+    copies — microseconds at HBM bandwidth), so slab writebacks are
+    ordered before the next pass's reads by XLA dataflow, not DMA-queue
+    timing. meta = plan.meta(fe); data = plan.packed; order =
+    plan.epoch_order(seed) ([S, nc_pad] arrays)."""
+    nc, C, UB, IB, n_ub, slab_rows, fe = meta
     ub, ib, row = order
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
-    for s in range(num_slabs):
-        W_ext, H_ext = _slab_pass(
-            W_ext, H_ext, data, ub[s], ib[s], row[s], slab_bases[s],
-            hp_vec, rates, meta=meta, loss=loss, biased=biased, dt=dt,
+
+    # lax.scan over slabs: ONE pallas_call instance (one Mosaic compile
+    # regardless of slab count); the carry threading makes XLA order
+    # every slab writeback before the next pass's reads
+    def body(carry, xs):
+        W, H = carry
+        s, ub_s, ib_s, row_s = xs
+        slab = jax.lax.dynamic_slice_in_dim(H, s * slab_rows, slab_rows)
+        W, slab = _mxu_epoch_call(
+            W, slab, data, ub_s, ib_s, row_s, hp_vec, rates,
+            meta=meta, loss=loss, biased=biased, dt=dt,
             interpret=interpret)
+        H = jax.lax.dynamic_update_slice_in_dim(H, slab, s * slab_rows, 0)
+        return (W, H), None
+
+    (W_ext, H_ext), _ = jax.lax.scan(
+        body, (W_ext, H_ext),
+        (jnp.arange(num_slabs, dtype=jnp.int32), ub, ib, row))
     return W_ext, H_ext
 
 
@@ -711,3 +615,176 @@ def mxu_tiled_supported(num_items: int, num_factors: int,
         return False
     n_ib = max((num_items + item_block - 1) // item_block, 1)
     return (n_ib + slab_blocks - 1) // slab_blocks <= max_slabs
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded variant: DSGD over devices, per-shard MXU kernel
+# ---------------------------------------------------------------------------
+#
+# The multi-chip mapping of the reference's Gemulla DSGD schedule
+# (MultiCore.cs:43-73, BiasedMatrixFactorization.cs:206-215) for the MXU
+# kernel: user blocks partition over the mesh (each device owns a
+# contiguous ublock range = its W shard), the item table partitions into
+# D slabs that ROTATE around the ring via ppermute — at sub-epoch k,
+# device d processes the chunks of (its users) x (partition (d+k) % D)
+# with that partition resident in VMEM. Within a sub-epoch all devices
+# touch disjoint W rows and disjoint H partitions (the diagonal
+# schedule), so the parallel result is BIT-IDENTICAL to processing the
+# cells sequentially — tested against the numpy oracle.
+
+
+@dataclass
+class MxuShardedPlan:
+    """Host-side layout for the mesh-sharded DSGD MXU epoch."""
+    num_devices: int
+    nc_pad: int              # per-(device, sub-epoch) grid size
+    chunk: int
+    user_block: int
+    item_block: int
+    ub_per_dev: int          # ublocks per device
+    part_blocks: int         # item blocks per partition
+    num_users: int
+    num_items: int
+    n_ratings: int
+    # [nc + 1, 4, C]: all real chunks + one all-zero pad chunk (index nc)
+    packed: jnp.ndarray = field(repr=False)
+    ub_c: np.ndarray = field(repr=False)
+    ib_c: np.ndarray = field(repr=False)
+    cells: list = field(repr=False)           # [d][k] -> chunk rows
+    new_of_old: np.ndarray = field(repr=False)
+    old_of_new: np.ndarray = field(repr=False)
+
+    @property
+    def u_pad_dev(self) -> int:
+        return self.ub_per_dev * self.user_block
+
+    @property
+    def u_pad(self) -> int:
+        return self.num_devices * self.u_pad_dev
+
+    @property
+    def part_rows(self) -> int:
+        return self.part_blocks * self.item_block
+
+    @property
+    def i_pad(self) -> int:
+        return self.num_devices * self.part_rows
+
+    def meta(self, fe: int) -> tuple:
+        # the per-device, per-sub-epoch call geometry (_mxu_epoch_call)
+        return (self.nc_pad, self.chunk, self.user_block, self.item_block,
+                self.ub_per_dev, self.part_rows, fe)
+
+    def epoch_order(self, seed) -> tuple:
+        """[D, D, nc_pad] arrays (ub_rel, ib_rel, row): axis 0 = device,
+        axis 1 = sub-epoch. ub_rel is device-relative, ib_rel
+        partition-relative; chunks stay grouped by ublock within a cell,
+        shuffled within groups; pads repeat the last real ublock and
+        point at the all-zero pad chunk."""
+        D, nc_pad = self.num_devices, self.nc_pad
+        zero_row = self.packed.shape[0] - 1
+        rng = None if seed is None else np.random.default_rng(seed)
+        ub = np.zeros((D, D, nc_pad), np.int32)
+        ib = np.zeros((D, D, nc_pad), np.int32)
+        row = np.full((D, D, nc_pad), zero_row, np.int32)
+        for d in range(D):
+            for k in range(D):
+                rows = self.cells[d][k]
+                if rows.size == 0:
+                    continue
+                if rng is None:
+                    perm = np.arange(rows.size)
+                else:
+                    perm = np.argsort(
+                        self.ub_c[rows].astype(np.float64) * 2.0
+                        + rng.random(rows.size), kind="stable")
+                r = rows[perm]
+                p = (d + k) % D
+                ub[d, k, :r.size] = self.ub_c[r] - d * self.ub_per_dev
+                ib[d, k, :r.size] = self.ib_c[r] - p * self.part_blocks
+                row[d, k, :r.size] = r
+                ub[d, k, r.size:] = ub[d, k, r.size - 1]
+        return jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(row)
+
+
+def prepare_mxu_sharded(users, items, values, num_users: int,
+                        num_items: int, num_devices: int, *,
+                        user_block: int = 512, item_block: int = 1024,
+                        chunk: int = 640, shuffle_seed=0) -> MxuShardedPlan:
+    """prepare_mxu_data + regroup chunks into the DSGD (device x
+    sub-epoch) diagonal cells."""
+    D = num_devices
+    plan = prepare_mxu_data(users, items, values, num_users, num_items,
+                            user_block=user_block, item_block=item_block,
+                            chunk=chunk, shuffle_seed=shuffle_seed)
+    ub_per_dev = max((plan.n_ublocks + D - 1) // D, 1)
+    part_blocks = max((plan.n_iblocks + D - 1) // D, 1)
+    dev_of = plan.ub_c // ub_per_dev
+    part_of = plan.ib_c // part_blocks
+    cells = []
+    nc_pad = 1
+    for d in range(D):
+        per_k = []
+        for k in range(D):
+            p = (d + k) % D
+            rows = np.nonzero((dev_of == d) & (part_of == p))[0]
+            nc_pad = max(nc_pad, rows.size)
+            per_k.append(rows)
+        cells.append(per_k)
+    zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
+    return MxuShardedPlan(
+        num_devices=D, nc_pad=nc_pad, chunk=plan.chunk,
+        user_block=plan.user_block, item_block=plan.item_block,
+        ub_per_dev=ub_per_dev, part_blocks=part_blocks,
+        num_users=num_users, num_items=num_items, n_ratings=plan.n_ratings,
+        packed=jnp.concatenate([plan.packed, zero]),
+        ub_c=plan.ub_c, ib_c=plan.ib_c, cells=cells,
+        new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
+
+
+def sgd_epoch_mxu_sharded(mesh, W_ext, H_ext, data, order, hp_vec, rates,
+                          *, meta, loss: int, biased: bool,
+                          mxu_dtype: str = "bf16",
+                          interpret: bool = False):
+    """One DSGD epoch over the mesh: D sub-epochs, each a per-device MXU
+    kernel pass over (device users) x (rotating item partition), with
+    the partition ring-shifted via ppermute between sub-epochs.
+
+    W_ext [plan.u_pad, fe] row-sharded over the mesh axis; H_ext
+    [plan.i_pad, fe] row-sharded (device d starts holding partition d;
+    the rotation returns every partition home after D sub-epochs);
+    data = plan.packed replicated; order = plan.epoch_order(seed)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nc, C, UB, IB, ub_per_dev, part_rows, fe = meta
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    ring = [((i + 1) % D, i) for i in range(D)]
+
+    def device_fn(W_loc, H_part, data_full, ub_d, ib_d, row_d, hp, rt):
+        def sub(carry, xs):
+            W_loc, H_part = carry
+            ub_k, ib_k, row_k = xs
+            W_loc, H_part = _mxu_epoch_call(
+                W_loc, H_part, data_full, ub_k, ib_k, row_k, hp, rt,
+                meta=meta, loss=loss, biased=biased, dt=dt,
+                interpret=interpret)
+            H_part = jax.lax.ppermute(H_part, axis, ring)
+            return (W_loc, H_part), None
+
+        (W_loc, H_part), _ = jax.lax.scan(
+            sub, (W_loc, H_part), (ub_d[0], ib_d[0], row_d[0]))
+        return W_loc, H_part
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None), P(), P()),
+        out_specs=(P(axis, None), P(axis, None)),
+        # pallas out_shapes carry no vma annotations; correctness is by
+        # construction (disjoint diagonal cells) and tested bit-exactly
+        check_vma=False)
+    ub, ib, row = order
+    return fn(W_ext, H_ext, data, ub, ib, row, hp_vec, rates)

@@ -91,10 +91,9 @@ class TestTiledKernel:
             mxu_dtype="f32", interpret=True)
         We2, He2 = ps.extend_tables_mxu(plan, W0, H0, bu, bi, fe_pad=8)
         Wt, Ht = ps.sgd_epoch_mxu_tiled(
-            We2, He2, tplan.packed, tplan.epoch_order(7),
-            tplan.slab_bases(), _hp(), rates, meta=tplan.meta(fe),
-            num_slabs=1, loss=sgd.LOSS_RMSE, biased=True,
-            mxu_dtype="f32", interpret=True)
+            We2, He2, tplan.packed, tplan.epoch_order(7), _hp(), rates,
+            meta=tplan.meta(fe), num_slabs=1, loss=sgd.LOSS_RMSE,
+            biased=True, mxu_dtype="f32", interpret=True)
         np.testing.assert_allclose(np.asarray(Wt), np.asarray(Wr),
                                    rtol=0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(Ht)[:He2.shape[0]],
@@ -120,7 +119,7 @@ class TestTiledKernel:
         order = tplan.epoch_order(9)
         Wref, Href = oracle_tiled(We, He, tplan, order, rates)
         Wt, Ht = ps.sgd_epoch_mxu_tiled(
-            We, He, tplan.packed, order, tplan.slab_bases(), _hp(), rates,
+            We, He, tplan.packed, order, _hp(), rates,
             meta=tplan.meta(fe), num_slabs=tplan.num_slabs,
             loss=sgd.LOSS_RMSE, biased=True, mxu_dtype="f32",
             interpret=True)
@@ -151,9 +150,10 @@ class TestTiledModelPath:
         from mymedialite_tpu.eval.rating import evaluate_ratings
         from mymedialite_tpu.models.registry import create_rating_predictor
         monkeypatch.setenv("MML_MXU", "interpret")
-        # shrink the VMEM budget so a 3000-item catalog is "too big" for
-        # the resident kernel but two slabs fit
+        # shrink the VMEM budgets so a 3000-item catalog is "too big" for
+        # the resident kernel but single-block slabs fit
         monkeypatch.setattr(ps, "VMEM_ITEM_TABLE_BYTES", 512 * 1024)
+        monkeypatch.setattr(ps, "TILED_SLAB_BYTES", 256 * 1024)
         data = synthetic_ratings(num_ratings=4000, num_users=80,
                                  num_items=3000, seed=33)
         train, test = split_ratings(data, seed=34)
@@ -170,3 +170,95 @@ class TestTiledModelPath:
         ga.ratings = train
         ga.train()
         assert res["RMSE"] < evaluate_ratings(ga, test)["RMSE"] + 0.05
+
+
+class TestShardedMXUEpoch:
+    """DSGD over the mesh with the per-shard MXU kernel
+    (sgd_epoch_mxu_sharded): within a sub-epoch every device touches
+    disjoint W rows and a disjoint H partition (the Gemulla diagonal
+    schedule, MultiCore.cs:43-73), so the parallel epoch must be
+    BIT-equal (f32) to processing the diagonal cells sequentially."""
+
+    def test_sharded_matches_sequential_oracle(self):
+        from mymedialite_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        D = 4
+        mesh = make_mesh(D)
+        U, I, n, f = 64, 44, 600, 6
+        rng = np.random.default_rng(8)
+        users = rng.integers(0, U, n).astype(np.int32)
+        items = rng.integers(0, I, n).astype(np.int32)
+        values = rng.uniform(1, 5, n).astype(np.float32)
+        plan = ps.prepare_mxu_sharded(users, items, values, U, I, D,
+                                      user_block=8, item_block=8, chunk=8,
+                                      shuffle_seed=4)
+        fe = 8
+        We = np.zeros((plan.u_pad, fe), np.float32)
+        He = np.zeros((plan.i_pad, fe), np.float32)
+        We[:U, :f] = 0.1 * rng.standard_normal((U, f))
+        We[:U, f] = 0.01 * rng.standard_normal(U)
+        We[:U, f + 1] = 1.0
+        He[plan.new_of_old, :f] = 0.1 * rng.standard_normal((I, f))
+        He[plan.new_of_old, f] = 1.0
+        He[plan.new_of_old, f + 1] = 0.01 * rng.standard_normal(I)
+        rates = ps.mxu_column_rates(f, fe, 0.01, 0.1, 0.08, 0.7, 0.33,
+                                    True, True, True)
+        order = plan.epoch_order(9)
+
+        # sequential oracle over the diagonal cells, sub-epoch-major
+        # (cells within a sub-epoch are row-disjoint, so any device
+        # order gives the same f32 result)
+        Wref, Href = We.copy(), He.copy()
+        ub_a, ib_a, row_a = [np.asarray(x) for x in order]
+        packed = np.asarray(plan.packed)
+        UB, IB = plan.user_block, plan.item_block
+        w_lr, w_reg, h_lr, h_reg = np.asarray(rates).T
+        gb, minr, rrange = 3.0, 1.0, 4.0
+        for k in range(D):
+            for d in range(D):
+                p = (d + k) % D
+                for c in range(plan.nc_pad):
+                    dd = packed[row_a[d, k, c]]
+                    u, i = dd[0], dd[1]
+                    v = dd[2].view(np.float32)
+                    wt = dd[3].view(np.float32)
+                    ug = d * plan.u_pad_dev + ub_a[d, k, c] * UB + u
+                    ig = p * plan.part_rows + ib_a[d, k, c] * IB + i
+                    wu, hi = Wref[ug], Href[ig]
+                    score = np.sum(wu * hi, axis=1)
+                    sig = 1.0 / (1.0 + np.exp(-(score + gb)))
+                    pred = minr + sig * rrange
+                    g = (v - pred) * sig * (1 - sig) * rrange * wt
+                    dw = w_lr * (g[:, None] * hi
+                                 - wt[:, None] * w_reg * wu)
+                    dh = h_lr * (g[:, None] * wu
+                                 - wt[:, None] * h_reg * hi)
+                    np.add.at(Wref, ug, dw)
+                    np.add.at(Href, ig, dh)
+
+        hp = np.zeros((1, 8), np.float32)
+        hp[0, :3] = [gb, minr, rrange]
+        Wd = jax.device_put(We, NamedSharding(mesh, P("data", None)))
+        Hd = jax.device_put(He, NamedSharding(mesh, P("data", None)))
+        Wk, Hk = ps.sgd_epoch_mxu_sharded(
+            mesh, Wd, Hd, plan.packed, order, jnp.asarray(hp), rates,
+            meta=plan.meta(fe), loss=sgd.LOSS_RMSE, biased=True,
+            mxu_dtype="f32", interpret=True)
+        np.testing.assert_allclose(np.asarray(Wk), Wref, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Hk), Href, rtol=0, atol=1e-6)
+
+    def test_every_event_covered_once(self):
+        U, I, n = 64, 44, 600
+        rng = np.random.default_rng(3)
+        plan = ps.prepare_mxu_sharded(
+            rng.integers(0, U, n).astype(np.int32),
+            rng.integers(0, I, n).astype(np.int32),
+            rng.uniform(1, 5, n).astype(np.float32), U, I, 4,
+            user_block=8, item_block=8, chunk=8, shuffle_seed=1)
+        all_rows = np.concatenate([r for per_k in plan.cells
+                                   for r in per_k])
+        nc = plan.packed.shape[0] - 1
+        assert sorted(all_rows.tolist()) == list(range(nc))
+        w = np.asarray(plan.packed)[:, 3].view(np.float32)
+        assert int(w.sum()) == n
