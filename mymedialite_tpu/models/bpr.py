@@ -235,18 +235,23 @@ class BPRMF(ItemMF, FoldInItemRecommender):
 
     # --- Pallas MXU epoch (ops/pallas_bpr.py) ---
 
+    # WBPR popularity negatives (set by WeightedBPRMF): the fused kernel
+    # draws the block by popularity mass and the local index by
+    # inverse-CDF (ops/pallas_bpr.py), matching WeightedBPRMF.cs:55-66
+    MXU_POPULARITY = False
+
     def _mxu_mode(self) -> str:
         """Epoch-kernel selection, mirroring models/mf.py _mxu_mode:
-        'tpu' = the Pallas MXU one-hot-matmul BPR epoch (scatter-free;
-        the XLA epoch is scatter-bound at ~1.3M triples/s at the Netflix
-        bench shape), 'interpret' = forced interpret mode (tests),
-        '' = the XLA minibatch epoch. Needs the item table in VMEM;
-        WBPR's popularity-CDF negatives stay on the XLA path."""
+        'tpu' = the Pallas MXU one-hot-matmul BPR epoch with fused
+        negative sampling (scatter-free; the XLA epoch is scatter-bound
+        at ~1.3M triples/s at the Netflix bench shape, the MXU epoch
+        measures 58M), 'interpret' = forced interpret mode (tests),
+        '' = the XLA minibatch epoch. Needs the item table in VMEM."""
         import os
         env = os.environ.get("MML_MXU", "auto")
         if env == "0":
             return ""
-        if self.feedback is None or self._pop_cdf is not None:
+        if self.feedback is None:
             return ""
         from mymedialite_tpu.ops import pallas_bpr as pb
         if not pb.mxu_supported(self.feedback.num_items, self.num_factors):
@@ -265,7 +270,11 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             return
         from mymedialite_tpu.ops import pallas_bpr as pb
         plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
-            self.feedback, uniform_user=self.uniform_user_sampling,
+            self.feedback,
+            # WBPR samples (u, i) uniform over events (WeightedBPRMF.cs:
+            # 58-60) = the one-pass layout with unit weights
+            uniform_user=(self.uniform_user_sampling
+                          and not self.MXU_POPULARITY),
             shuffle_seed=self.random_seed,
             num_neg_trials=self.num_neg_trials)
         self._bpr_plan = plan
@@ -301,15 +310,19 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         ub_visit = plan.ub_c[np.asarray(order[2])]
         jb, nval, bkt = pb.epoch_negative_plan(
             plan, self._bpr_neg_state["nvalid"], ub_visit, num_items,
-            (self.random_seed + 7) * 999_983 + self._epoch_counter)
+            (self.random_seed + 7) * 999_983 + self._epoch_counter,
+            block_mass=(self._bpr_neg_state["block_mass"]
+                        if self.MXU_POPULARITY else None))
         self._key, k_bits = jax.random.split(self._key)
         bits = pb.epoch_random_bits(k_bits, nc=plan.num_chunks,
                                     trials=trials, C=plan.chunk)
         We, He, _neg = pb.bpr_epoch_mxu(
-            We, He, plan.packed, self._bpr_neg_state["keys_tbl"], bits,
+            We, He, plan.packed, self._bpr_neg_state["keys_tbl"],
+            self._bpr_neg_state["cdf_tbl"], bits,
             order, jb, nval, bkt, rates,
             meta=plan.meta(fe) + (Kcap, trials),
-            soft_margin=self.SOFT_MARGIN, interpret=self._bpr_interpret)
+            soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
+            interpret=self._bpr_interpret)
         W, H, bias = pb.bpr_tables_from_mxu(
             We, He, self._bpr_new_of_old,
             num_users=p["user_factors"].shape[0], num_factors=f)
@@ -578,6 +591,8 @@ class WeightedBPRMF(BPRMF):
         "num_iter": int,
         "learn_rate": float,
     }
+
+    MXU_POPULARITY = True
 
     def _make_pop_cdf(self):
         return bpr_ops.popularity_cdf(self.feedback)

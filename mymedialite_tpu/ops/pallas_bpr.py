@@ -98,15 +98,22 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     """Bucket the positive-event stream (like prepare_mxu_data for
     ratings) and build the kernel's negative-sampling state.
 
+    The state also carries the per-block popularity CDF and block masses
+    for the WBPR regime (reference WeightedBPRMF.cs:55-66): the negative
+    block is drawn with P(b) = mass_b / total, the local index by
+    inverse-CDF inside the kernel (wbpr=True), so the pre-rejection
+    marginal is P(j) = count_j / total EXACTLY.
+
     Returns (plan, neg_state, neg_meta):
       plan: pallas_sgd.MxuPlan whose value slot carries the per-event
         base weight (1 for uniform-pair, the uniform-user importance
         weight otherwise);
       neg_state: dict with ``keys_tbl`` [n_buckets, Kcap] int32 device
         membership keys (u_loc * IB + i_loc of each bucket's events, -1
-        padded) and ``nvalid`` (host int32 [n_iblocks], real items per
-        negative block);
-      neg_meta: (n_iblocks, Kcap, num_neg_trials, num_items) static.
+        padded), ``nvalid`` (host int32 [n_iblocks], real items per
+        negative block), ``cdf_tbl`` [round8(n_ib), IB] device f32
+        per-block popularity CDF, and ``block_mass`` (host f64);
+      neg_meta: (n_iblocks, Kcap, num_neg_trials, num_items, IB) static.
     """
     users = np.asarray(feedback.users, dtype=np.int32)
     items = np.asarray(feedback.items, dtype=np.int32)
@@ -160,22 +167,45 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     within = np.arange(keys.size) - off[sb]
     keys_tbl[sb, within] = keys[order]
 
-    neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid)
+    # per-block popularity CDF (over local new-id slots): item at local
+    # slot s of block b is old_of_new[b*IB + s]; pad slots get CDF 1.0,
+    # so inverse-CDF never lands on them
+    cnt_old = np.asarray(feedback.count_by_item, dtype=np.float64)
+    cnt_new = np.zeros(plan.i_pad, np.float64)
+    valid_slots = plan.old_of_new >= 0
+    cnt_new[valid_slots] = cnt_old[plan.old_of_new[valid_slots]]
+    cnt_blk = cnt_new.reshape(n_ib, IB)
+    block_mass = cnt_blk.sum(axis=1)
+    cdf = np.ones((_round_up(n_ib, 8), IB), np.float32)
+    nz = block_mass > 0
+    cdf[:n_ib][nz] = (np.cumsum(cnt_blk[nz], axis=1)
+                      / block_mass[nz, None]).astype(np.float32)
+
+    neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid,
+                     cdf_tbl=jnp.asarray(cdf), block_mass=block_mass)
     neg_meta = (n_ib, Kcap, num_neg_trials, I, IB)
     return plan, neg_state, neg_meta
 
 
 def epoch_negative_plan(plan: MxuPlan, nvalid: np.ndarray,
-                        ub_visit: np.ndarray, num_items: int, seed):
+                        ub_visit: np.ndarray, num_items: int, seed,
+                        block_mass=None):
     """Per-epoch negative-block draw, host side, in VISIT order.
 
-    jb = r % n_ib with r ~ U[0, num_items): P(block b) = nvalid_b / I
-    exactly (round-robin packing alignment, tests). Returns device
-    (jb [nc], nval [nc], bkt [nc]) where bkt indexes keys_tbl rows."""
+    Uniform regimes: jb = r % n_ib with r ~ U[0, num_items):
+    P(block b) = nvalid_b / I exactly (round-robin packing alignment,
+    tests). WBPR (``block_mass`` given): jb ~ Categorical(mass / total).
+    Returns device (jb [nc], nval [nc], bkt [nc]) where bkt indexes
+    keys_tbl rows."""
     rng = np.random.default_rng(seed)
     nc = plan.num_chunks
-    r = rng.integers(0, max(num_items, 1), nc)
-    jb = (r % plan.n_iblocks).astype(np.int32)
+    if block_mass is not None:
+        p = np.asarray(block_mass, dtype=np.float64)
+        p = p / p.sum()
+        jb = rng.choice(plan.n_iblocks, size=nc, p=p).astype(np.int32)
+    else:
+        r = rng.integers(0, max(num_items, 1), nc)
+        jb = (r % plan.n_iblocks).astype(np.int32)
     nval = np.maximum(nvalid[jb], 1).astype(np.int32)
     bkt = (np.asarray(ub_visit, dtype=np.int64)
            * plan.n_iblocks + jb).astype(np.int32)
@@ -190,9 +220,9 @@ def epoch_random_bits(key, *, nc: int, trials: int, C: int):
         jax.random.bits(key, (nc, trials, C), jnp.uint32), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
+@functools.partial(jax.jit, static_argnames=("meta", "wbpr"))
 def sample_negatives_from_bits(keys_tbl, bits, jb, nval, bkt, u_loc, *,
-                               meta):
+                               meta, wbpr: bool = False, cdf_tbl=None):
     """Pure-XLA mirror of the kernel's fused rejection sampler —
     bit-exact on the same inputs (asserted by tests); used by the
     distribution tests and the numerics oracle.
@@ -202,10 +232,18 @@ def sample_negatives_from_bits(keys_tbl, bits, jb, nval, bkt, u_loc, *,
     n_ib, Kcap, trials, num_items, IB = meta
     keys = keys_tbl[bkt]                               # [nc, Kcap]
     nc, C = u_loc.shape
+    if wbpr:
+        cdf = cdf_tbl[jb]                              # [nc, IB]
     j_loc = jnp.zeros((nc, C), jnp.int32)
     ok = jnp.zeros((nc, C), bool)
     for t in range(trials):
-        cand = (bits[:, t, :] & 0x7FFFFFFF) % nval[:, None]
+        if wbpr:
+            u01 = ((bits[:, t, :] & 0x7FFFFFFF).astype(jnp.float32)
+                   * jnp.float32(1.0 / 2147483648.0))
+            cand = jnp.sum((cdf[:, :, None] < u01[:, None, :])
+                           .astype(jnp.int32), axis=1)
+        else:
+            cand = (bits[:, t, :] & 0x7FFFFFFF) % nval[:, None]
         ckey = u_loc * IB + cand
         is_pos = jnp.any(keys[:, :, None] == ckey[:, None, :], axis=1)
         take = jnp.logical_and(~ok, ~is_pos)
@@ -273,12 +311,12 @@ def bpr_tables_from_mxu(W_mxu, H_mxu, new_of_old, *, num_users: int,
 
 def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
                     row_ref,
-                    w_in_ref, h_in_ref, data_ref, jkeys_ref, rand_ref,
-                    rates_ref,
+                    w_in_ref, h_in_ref, data_ref, jkeys_ref, cdf_ref,
+                    rand_ref, rates_ref,
                     w_out_ref, h_out_ref, neg_out_ref,
                     h_vmem, sem_in, sem_out, *,
                     soft_margin: bool, C: int, UB: int, IB: int,
-                    trials: int, mxu_dtype):
+                    trials: int, wbpr: bool, mxu_dtype):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
 
@@ -309,13 +347,24 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
     # The block fetches 8 bucket rows (block-shape alignment); select ours
     krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]  # [1, Kcap]
     kt = jnp.transpose(krow, (1, 0))               # [Kcap, 1]
+    if wbpr:
+        # popularity negatives (WeightedBPRMF.cs:55-66): inverse-CDF
+        # within the drawn block, P(local slot) = count / block mass
+        crow = cdf_ref[pl.ds(jb_ref[c] % 8, 1), :]  # [1, IB]
+        cdf_t = jnp.transpose(crow, (1, 0))         # [IB, 1]
     nv = nval_ref[c]
     rnd = rand_ref[0]                             # [T, C] int32
     ukey = u * IB
     j = jnp.zeros((1, C), jnp.int32)
     ok = jnp.zeros((1, C), jnp.bool_)
     for t in range(trials):
-        cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
+        if wbpr:
+            u01 = ((rnd[t:t + 1, :] & 0x7FFFFFFF).astype(jnp.float32)
+                   * jnp.float32(1.0 / 2147483648.0))
+            cand = jnp.sum((cdf_t < u01).astype(jnp.int32), axis=0,
+                           keepdims=True)
+        else:
+            cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
         is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
         take = jnp.logical_and(~ok, ~is_pos)
         j = jnp.where(take, cand, j)
@@ -389,11 +438,13 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
 
 @functools.partial(
     jax.jit,
-    static_argnames=("meta", "soft_margin", "mxu_dtype", "interpret"),
+    static_argnames=("meta", "soft_margin", "wbpr", "mxu_dtype",
+                     "interpret"),
     donate_argnames=("W_ext", "H_ext"))
-def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, rand_bits, order, jb, nval,
-                  bkt, rates, *, meta, soft_margin: bool = False,
-                  mxu_dtype: str = "bf16", interpret: bool = False):
+def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
+                  jb, nval, bkt, rates, *, meta, soft_margin: bool = False,
+                  wbpr: bool = False, mxu_dtype: str = "bf16",
+                  interpret: bool = False):
     """One BPR epoch: |events| triple updates in chunks of C, negatives
     sampled inside the kernel.
 
@@ -412,7 +463,7 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, rand_bits, order, jb, nval,
 
     kernel = functools.partial(
         _mxu_bpr_kernel, soft_margin=soft_margin, C=C, UB=UB, IB=IB,
-        trials=trials, mxu_dtype=dt)
+        trials=trials, wbpr=wbpr, mxu_dtype=dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -429,6 +480,10 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, rand_bits, order, jb, nval,
             pl.BlockSpec((8, Kcap),
                          lambda c, ub, ib, jb, nval, bkt, row:
                          (bkt[c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, IB),
+                         lambda c, ub, ib, jb, nval, bkt, row:
+                         (jb[c] // 8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, trials, C),
                          lambda c, ub, ib, jb, nval, bkt, row: (c, 0, 0),
@@ -464,6 +519,6 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, rand_bits, order, jb, nval,
         # inputs: 0..5 scalar prefetch, 6 = W, 7 = H
         input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, rand_bits,
-      rates)
+    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, cdf_tbl,
+      rand_bits, rates)
     return W_out, H_out, neg_dbg

@@ -180,6 +180,21 @@ class TestMXUBPREpoch:
         res = evaluate_items(m, test, train)
         assert res["AUC"] > 0.55
 
+    def test_wbpr_through_mxu_path(self, monkeypatch):
+        """WeightedBPRMF now rides the fused kernel with popularity
+        negatives (wbpr=True) instead of falling back to the ~3x XLA
+        path (reference WeightedBPRMF.cs:55-66)."""
+        monkeypatch.setenv("MML_MXU", "interpret")
+        train, test = self._small()
+        m = create_item_recommender("WeightedBPRMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.num_iter = 5
+        m.train()
+        assert m._bpr_plan is not None
+        res = evaluate_items(m, test, train)
+        assert res["AUC"] > 0.55
+
     def test_add_feedback_invalidates_plan(self, monkeypatch):
         """AddFeedback then Iterate must train on the CURRENT feedback
         (reference BPRMF.cs:129-160): the MXU plan is rebuilt from the

@@ -49,19 +49,22 @@ def _prepared(feedback, uniform_user=True):
         chunk=8, shuffle_seed=3, num_neg_trials=8)
 
 
-def _epoch_negatives(plan, neg_state, neg_meta, order, bits_key, jb_seed):
+def _epoch_negatives(plan, neg_state, neg_meta, order, bits_key, jb_seed,
+                     wbpr=False):
     """Everything the epoch consumes, plus the mirror's sampled
     negatives (all in visit order)."""
     n_ib, Kcap, trials, I, IB = neg_meta
     row = np.asarray(order[2])
     ub_visit = plan.ub_c[row]
     jb, nval, bkt = pb.epoch_negative_plan(
-        plan, neg_state["nvalid"], ub_visit, I, jb_seed)
+        plan, neg_state["nvalid"], ub_visit, I, jb_seed,
+        block_mass=neg_state["block_mass"] if wbpr else None)
     bits = pb.epoch_random_bits(bits_key, nc=plan.num_chunks,
                                 trials=trials, C=plan.chunk)
     u_loc = jnp.asarray(np.asarray(plan.packed)[row][:, 0, :])
     j_loc, ok = pb.sample_negatives_from_bits(
-        neg_state["keys_tbl"], bits, jb, nval, bkt, u_loc, meta=neg_meta)
+        neg_state["keys_tbl"], bits, jb, nval, bkt, u_loc, meta=neg_meta,
+        wbpr=wbpr, cdf_tbl=neg_state["cdf_tbl"])
     return jb, nval, bkt, bits, np.asarray(j_loc), np.asarray(ok)
 
 
@@ -107,8 +110,10 @@ def oracle_epoch(We, He, plan, order, jb, j_loc, ok_neg, rates,
 
 
 class TestEpochNumerics:
-    @pytest.mark.parametrize("soft_margin", [False, True])
-    def test_kernel_matches_numpy_oracle(self, feedback, soft_margin):
+    @pytest.mark.parametrize("soft_margin,wbpr",
+                             [(False, False), (True, False), (False, True)])
+    def test_kernel_matches_numpy_oracle(self, feedback, soft_margin,
+                                         wbpr):
         plan, neg_state, neg_meta = _prepared(feedback)
         n_ib, Kcap, trials, I, IB = neg_meta
         f = 6
@@ -128,14 +133,17 @@ class TestEpochNumerics:
             f, fe, 0.05, 0.0025, 0.0025, 0.00025, 0.01, True)
         order = plan.epoch_order(11)
         jb, nval, bkt, bits, j_loc, ok = _epoch_negatives(
-            plan, neg_state, neg_meta, order, jax.random.PRNGKey(5), 17)
+            plan, neg_state, neg_meta, order, jax.random.PRNGKey(5), 17,
+            wbpr=wbpr)
         He0 = np.asarray(He).copy()   # He/We are donated to the kernel
         Wref, Href = oracle_epoch(We, He, plan, order, jb, j_loc, ok,
                                   rates, soft_margin=soft_margin)
         Wk, Hk, neg_dbg = pb.bpr_epoch_mxu(
-            We, He, plan.packed, neg_state["keys_tbl"], bits, order, jb,
+            We, He, plan.packed, neg_state["keys_tbl"],
+            neg_state["cdf_tbl"], bits, order, jb,
             nval, bkt, rates, meta=plan.meta(fe) + (Kcap, trials),
-            soft_margin=soft_margin, mxu_dtype="f32", interpret=True)
+            soft_margin=soft_margin, wbpr=wbpr, mxu_dtype="f32",
+            interpret=True)
         # the kernel's fused sampler is bit-exact vs the XLA mirror
         neg_dbg = np.asarray(neg_dbg)
         np.testing.assert_array_equal(neg_dbg[:, 0], j_loc)
@@ -166,7 +174,8 @@ class TestEpochNumerics:
         np.testing.assert_array_equal(np.asarray(b1), bias)
 
 
-def _draw_negatives(plan, neg_state, neg_meta, n_keys=1500, seed=0):
+def _draw_negatives(plan, neg_state, neg_meta, n_keys=1500, seed=0,
+                    wbpr=False):
     """n_keys independent epoch draws of the production sampler (the
     XLA mirror of the kernel logic), identity visit order.
     Returns (jb [K, nc], j_loc [K, nc, C], ok [K, nc, C])."""
@@ -177,7 +186,8 @@ def _draw_negatives(plan, neg_state, neg_meta, n_keys=1500, seed=0):
     jbs, nvals, bkts = [], [], []
     for k in range(n_keys):
         jb, nval, bkt = pb.epoch_negative_plan(
-            plan, neg_state["nvalid"], ub_visit, I, seed * 1_000_003 + k)
+            plan, neg_state["nvalid"], ub_visit, I, seed * 1_000_003 + k,
+            block_mass=neg_state["block_mass"] if wbpr else None)
         jbs.append(jb)
         nvals.append(nval)
         bkts.append(bkt)
@@ -189,7 +199,8 @@ def _draw_negatives(plan, neg_state, neg_meta, n_keys=1500, seed=0):
                         (n_keys, nc, trials, C), jnp.uint32), jnp.int32)
     fn = jax.jit(jax.vmap(functools.partial(
         pb.sample_negatives_from_bits, neg_state["keys_tbl"],
-        meta=neg_meta), in_axes=(0, 0, 0, 0, None)))
+        meta=neg_meta, wbpr=wbpr, cdf_tbl=neg_state["cdf_tbl"]),
+        in_axes=(0, 0, 0, 0, None)))
     j_loc, ok = fn(bits, jb, nval, bkt, u_loc)
     return np.asarray(jb), np.asarray(j_loc), np.asarray(ok)
 
@@ -286,6 +297,73 @@ class TestNegativeSampler:
             rate = obs.sum() / n_draws
             assert abs(rate - p_succ) < 4 * np.sqrt(
                 p_succ * (1 - p_succ) / n_draws) + 1e-9, (rate, p_succ)
+
+
+class TestWBPRSampler:
+    """WBPR popularity negatives (reference WeightedBPRMF.cs:55-66):
+    block by popularity mass, local slot by inverse-CDF, rejection
+    against history — exact per-item marginal
+    p(j) = (mass_b/M)(1 - (hmass_b/mass_b)^T) count_j/(mass_b-hmass_b)
+    for non-history j in block b."""
+
+    def test_block_marginal_by_mass(self, feedback):
+        plan, neg_state, neg_meta = _prepared(feedback)
+        jb, _, _ = _draw_negatives(plan, neg_state, neg_meta,
+                                   n_keys=4000, wbpr=True)
+        n_ib = plan.n_iblocks
+        obs = np.bincount(jb.reshape(-1), minlength=n_ib).astype(np.float64)
+        mass = np.asarray(neg_state["block_mass"], dtype=np.float64)
+        expected = mass / mass.sum() * obs.sum()
+        p = stats.chisquare(obs, expected).pvalue
+        assert p > 1e-4, (obs, expected, p)
+
+    def test_per_user_popularity_marginal_exact(self, feedback):
+        plan, neg_state, neg_meta = _prepared(feedback)
+        n_ib, Kcap, trials, I, IB = neg_meta
+        jb, j_loc, okw = _draw_negatives(plan, neg_state, neg_meta,
+                                         n_keys=4000, seed=5, wbpr=True)
+        packed = np.asarray(plan.packed)
+        old_of_new = np.maximum(plan.old_of_new, 0)
+        new_of_old = plan.new_of_old
+        counts = np.asarray(feedback.count_by_item, dtype=np.float64)
+        mass = np.asarray(neg_state["block_mass"], dtype=np.float64)
+        M = mass.sum()
+        u_glob = plan.ub_c[:, None] * plan.user_block + packed[:, 0]
+        pad_w = packed[:, 3].view(np.float32)
+        slots_of = {}
+        for c, s in zip(*np.nonzero(pad_w > 0)):
+            slots_of.setdefault(int(u_glob[c, s]), []).append((c, s))
+        users = sorted(slots_of, key=lambda u: -len(slots_of[u]))[:3]
+        for uid in users:
+            hist = set(int(x) for x in feedback.items_by_user(uid))
+            hmass = np.zeros(n_ib)
+            for it in hist:
+                hmass[new_of_old[it] // IB] += counts[it]
+            p_item = np.zeros(I)
+            for b in range(n_ib):
+                avail = mass[b] - hmass[b]
+                if avail <= 0 or mass[b] <= 0:
+                    continue
+                p_ok = 1.0 - (hmass[b] / mass[b]) ** trials
+                locs = np.arange(b * IB, (b + 1) * IB)
+                for sl in locs:
+                    it = old_of_new[sl] if plan.old_of_new[sl] >= 0 else -1
+                    if it >= 0 and int(it) not in hist:
+                        p_item[it] = (mass[b] / M) * p_ok \
+                            * counts[it] / avail
+            cs = np.array([c for c, _ in slots_of[uid]])
+            ss = np.array([s for _, s in slots_of[uid]])
+            jl = j_loc[:, cs, ss]
+            okm = okw[:, cs, ss]
+            j_old = old_of_new[jb[:, cs] * IB + jl]
+            vals = j_old[okm]
+            obs = np.bincount(vals, minlength=I).astype(np.float64)
+            keep = p_item > 0
+            assert obs[~keep].sum() == 0
+            expected = p_item[keep]
+            expected = expected / expected.sum() * obs[keep].sum()
+            p = stats.chisquare(obs[keep], expected).pvalue
+            assert p > 1e-4, (uid, obs[keep], expected, p)
 
 
 class TestUniformUserWeights:
