@@ -57,8 +57,10 @@ def main():
         t0 = time.time()
         res = evaluate_ratings(m, test)
         t_eval = time.time() - t0
-        print(f"{name:30s} {res}  train {t_train:6.1f}s eval {t_eval:5.1f}s",
-              flush=True)
+        path = ("mxu" if getattr(m, "_mxu_plan", None) is not None
+                else "xla")
+        print(f"{name:30s} {res}  train {t_train:6.1f}s eval "
+              f"{t_eval:5.1f}s [{path}]", flush=True)
 
     # --- item recommendation, implicit ML shape ---
     pos = synthetic_posonly(num_users=int(6040 * scale) or 60,
@@ -89,8 +91,10 @@ def main():
         t0 = time.time()
         res = evaluate_items(m, ptest, ptrain)
         t_eval = time.time() - t0
-        print(f"{name:30s} {res}  train {t_train:6.1f}s eval {t_eval:5.1f}s",
-              flush=True)
+        path = ("mxu" if getattr(m, "_bpr_plan", None) is not None
+                else "xla")
+        print(f"{name:30s} {res}  train {t_train:6.1f}s eval "
+              f"{t_eval:5.1f}s [{path}]", flush=True)
 
 
 if __name__ == "__main__":
