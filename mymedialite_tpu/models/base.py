@@ -80,6 +80,17 @@ class Recommender:
         None = host scoring only."""
         return None
 
+    def pair_scorer(self):
+        """Optional pure pairwise scorer: ``(fn, params)`` where
+        ``fn(params, users_i32, items_i32) -> [n]`` device predictions
+        (same contract as :meth:`catalog_scorer`: module-level ``fn``,
+        all state in ``params``). Lets the evaluator fuse prediction and
+        metric reduction into one jitted call with the test set resident
+        on device — the per-iteration eval of the reference's
+        ``--find-iter`` loop (RatingPrediction.cs:202-270) without a
+        host<->device round trip per call. None = host scoring only."""
+        return None
+
     def score_catalog_device(self, users: np.ndarray):
         """score_catalog as a device (jnp) array, computed in one jitted
         call when the model provides a catalog_scorer (eager per-op

@@ -425,6 +425,16 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
 
     BOUND = "clip"  # BiasedMF overrides with "sigmoid"
 
+    def pair_scorer(self):
+        if self.W_ext is None:
+            return None
+        params = dict(W=self.W_ext, H=self.H_ext,
+                      global_bias=jnp.float32(self.global_bias),
+                      min_rating=jnp.float32(self.min_rating),
+                      max_rating=jnp.float32(self.max_rating),
+                      num_users=jnp.int32(self.num_users_trained))
+        return _MF_PAIR_FNS[(self.BIASED, self.BOUND)], params
+
     def catalog_scorer(self):
         if self.W_ext is None:
             raise RuntimeError(f"{type(self).__name__}: model not trained")
@@ -693,6 +703,40 @@ def _refresh_row(own_table, other_table, row_id, key, init_mean, init_stdev,
                           decay=decay, biased=biased, loss=loss,
                           frozen_col=frozen_col, bias_col=bias_col)
     return own_table.at[row_id].set(row)
+
+
+# pair_scorer fns (stable module-level identity per (BIASED, BOUND)
+# combo, so the evaluator's fused metric jit caches one compile each)
+
+def _mf_pairs(params, u, i, *, biased, bound):
+    return _predict_pairs(params["W"], params["H"], params["global_bias"],
+                          params["min_rating"], params["max_rating"],
+                          u, i, params["num_users"],
+                          biased=biased, bound=bound)
+
+
+def _mf_pairs_clip(p, u, i):
+    return _mf_pairs(p, u, i, biased=False, bound="clip")
+
+
+def _mf_pairs_clip_biased(p, u, i):
+    return _mf_pairs(p, u, i, biased=True, bound="clip")
+
+
+def _mf_pairs_sig(p, u, i):
+    return _mf_pairs(p, u, i, biased=False, bound="sigmoid")
+
+
+def _mf_pairs_sig_biased(p, u, i):
+    return _mf_pairs(p, u, i, biased=True, bound="sigmoid")
+
+
+_MF_PAIR_FNS = {
+    (False, "clip"): _mf_pairs_clip,
+    (True, "clip"): _mf_pairs_clip_biased,
+    (False, "sigmoid"): _mf_pairs_sig,
+    (True, "sigmoid"): _mf_pairs_sig_biased,
+}
 
 
 @functools.partial(jax.jit, static_argnames=("biased", "bound"))
