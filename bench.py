@@ -350,6 +350,67 @@ def bench_eval():
     return pred_per_s, users_per_s
 
 
+def bench_tiled():
+    """Big-catalog (KDD-Cup-scale) SGD: the flat slab-tiled Pallas MXU
+    epoch (ops/pallas_sgd.py sgd_epoch_mxu_tiled) — the production path
+    for catalogs beyond the VMEM budget (reference IO/KDDCup2011/*
+    implies 624,961-item catalogs). Shape: the full Track-1 catalog with
+    users/ratings at 1/16 scale (same bucket occupancy as the real
+    data). Skew: zipf-1.2 item popularity (harder than real catalogs —
+    exercises the schedule's skew independence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.ops import pallas_sgd as ps
+    from mymedialite_tpu.ops import sgd
+
+    U, I, n, f = 62_561, 624_961, 15_800_017, NUM_FACTORS
+    if jax.default_backend() != "tpu" or ps.mxu_supported(I, f) or \
+            not ps.mxu_tiled_supported(I, f):
+        print("SUITE tiled skipped (needs single-chip TPU + beyond-VMEM "
+              "catalog)", file=sys.stderr)
+        return None
+    rng = np.random.default_rng(5)
+    users = rng.integers(0, U, n).astype(np.int32)
+    items = (np.minimum(rng.zipf(1.2, n), I) - 1).astype(np.int32)
+    values = rng.uniform(1.0, 5.0, n).astype(np.float32)
+    W0 = 0.1 * rng.standard_normal((U, f)).astype(np.float32)
+    H0 = 0.1 * rng.standard_normal((I, f)).astype(np.float32)
+
+    t0 = time.time()
+    plan = ps.prepare_mxu_tiled(users, items, values, U, I, chunk=None,
+                                shuffle_seed=0,
+                                slab_blocks=ps.default_slab_blocks(f))
+    We, He = ps.extend_tables_mxu(plan, W0, H0, fe_pad=64)
+    fe = We.shape[1]
+    pad = plan.packed.shape[0] * plan.chunk / n - 1
+    print(f"tiled prep: {time.time() - t0:.1f}s (chunk={plan.chunk}, "
+          f"slabs={plan.num_slabs}, pad={pad*100:.0f}%)", file=sys.stderr)
+    rates = ps.mxu_column_rates(f, fe, 0.005, 0.015, 0.015, 1.0, 0.01,
+                                True, True, True)
+    hp = np.zeros((1, 8), np.float32)
+    hp[0, :3] = [3.0, 1.0, 4.0]
+    hp = jnp.asarray(hp)
+
+    def epoch(We, He, seed):
+        return ps.sgd_epoch_mxu_tiled(
+            We, He, plan.packed, plan.epoch_order(seed), hp, rates,
+            meta=plan.meta(fe), num_slabs=plan.num_slabs,
+            loss=sgd.LOSS_RMSE, biased=True)
+
+    We, He = epoch(We, He, 0)
+    float(jnp.sum(He[0]))  # sync
+    t0 = time.time()
+    for r in range(EPOCHS):
+        We, He = epoch(We, He, r + 1)
+    float(jnp.sum(He[0]))
+    upd_per_s = EPOCHS * n / (time.time() - t0)
+    print(f"SUITE tiled_sgd_updates_per_s {upd_per_s/1e6:.2f}M "
+          f"({U}x{I}x{n}, {upd_per_s/BASELINE_UPDATES_PER_S:.0f}x "
+          f"reference)", file=sys.stderr)
+    return upd_per_s
+
+
 if __name__ == "__main__":
     main()
     if os.environ.get("BENCH_SUITE"):
@@ -357,3 +418,4 @@ if __name__ == "__main__":
         bench_bpr()
         bench_wrmf()
         bench_eval()
+        bench_tiled()

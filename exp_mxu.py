@@ -154,8 +154,114 @@ def perf():
                   f"{str(e)[:300]}", flush=True)
 
 
+def perf_tiled():
+    """Big-catalog (KDD-Cup-scale) shapes: the slab-tiled MXU epoch vs
+    the XLA blocked fallback. Catalog = the full KDD-Cup Track-1 item
+    space (624,961 items, /root/reference/src/MyMediaLite/IO/KDDCup2011),
+    users/ratings scaled by SCALE (default 1/8 of Track 1's ~1M users /
+    ~253M ratings) so bucket occupancy matches the real dataset."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from mymedialite_tpu.ops import pallas_sgd as ps
+    from mymedialite_tpu.ops import sgd
+
+    scale = int(os.environ.get("SCALE", 8))
+    U, I, n, f = 1_000_990 // scale, 624_961, 252_800_275 // scale, 40
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, U, n).astype(np.int32)
+    # zipf-flavored item popularity like the real catalog
+    items = (np.minimum(rng.zipf(1.2, n), I) - 1).astype(np.int32)
+    values = rng.uniform(0.0, 100.0, n).astype(np.float32)
+    W0 = 0.1 * rng.standard_normal((U, f)).astype(np.float32)
+    H0 = 0.1 * rng.standard_normal((I, f)).astype(np.float32)
+    print(f"shape: {U} users x {I} items x {n} ratings (SCALE=1/{scale})",
+          flush=True)
+
+    assert not ps.mxu_supported(I, f) and ps.mxu_tiled_supported(I, f)
+    t0 = time.time()
+    # chunk=None -> histogram-optimal (the production selection)
+    plan = ps.prepare_mxu_tiled(users, items, values, U, I,
+                                user_block=512, item_block=1024,
+                                chunk=None, shuffle_seed=0,
+                                slab_blocks=ps.default_slab_blocks(f))
+    prep_s = time.time() - t0
+    pad = plan.packed.shape[0] * plan.chunk / n - 1
+    print(f"tiled plan: chunk={plan.chunk} slabs={plan.num_slabs} "
+          f"passes={plan.num_passes}x{plan.pass_len} "
+          f"pad={pad*100:.1f}% prep={prep_s:.1f}s "
+          f"packed={plan.packed.nbytes/1e9:.2f}GB", flush=True)
+
+    We, He = ps.extend_tables_mxu(plan, W0, H0, fe_pad=64)
+    fe = We.shape[1]
+    rates = ps.mxu_column_rates(f, fe, 0.005, 0.015, 0.015, 1.0, 1.0,
+                                True, True, True)
+    hp = np.zeros((1, 8), np.float32)
+    hp[0, :3] = [50.0, 0.0, 100.0]
+    data = plan.packed
+
+    REPS = int(os.environ.get("REPS", 3))
+    order = plan.epoch_order(1)
+    t0 = time.time()
+    We, He = ps.sgd_epoch_mxu_tiled(We, He, data, order, jnp.asarray(hp),
+                                    rates, meta=plan.meta(fe),
+                                    num_slabs=plan.num_slabs,
+                                    loss=sgd.LOSS_RMSE, biased=True)
+    _ = float(jnp.sum(He[0]))  # sync (tunnel-safe)
+    print(f"warmup+compile+transfer: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for r in range(REPS):
+        We, He = ps.sgd_epoch_mxu_tiled(We, He, data, order, jnp.asarray(hp),
+                                        rates, meta=plan.meta(fe),
+                                        num_slabs=plan.num_slabs,
+                                        loss=sgd.LOSS_RMSE, biased=True)
+    _ = float(jnp.sum(He[0]))
+    dt_s = (time.time() - t0) / REPS
+    print(f"tiled MXU epoch: {n/dt_s/1e6:8.1f} M upd/s "
+          f"({dt_s*1000:.0f} ms/epoch)", flush=True)
+    del We, He, data, plan
+
+    if os.environ.get("SKIP_XLA"):
+        return
+    # the XLA blocked fallback at the same shape
+    t0 = time.time()
+    blocked, meta = sgd.prepare_blocked_data(users, items, values, U,
+                                             131_072, 512, shuffle_seed=0)
+    print(f"blocked prep: {time.time() - t0:.1f}s", flush=True)
+    W_ext, H_ext = sgd.extend_tables(W0, H0, group_users=512)
+    hp2 = dict(global_bias=jnp.float32(50.0), min_rating=jnp.float32(0.0),
+               rating_range=jnp.float32(100.0))
+    rates2 = sgd.column_rates(f, 0.005, 0.015, 0.015, 1.0, 1.0,
+                              True, True, True)
+    freq = (jnp.zeros(0), jnp.zeros(0))
+    key = jax.random.PRNGKey(0)
+
+    def epoch(W, H, sub):
+        return sgd.sgd_epoch_blocked(
+            W, H, blocked, sub, hp2, rates2, freq,
+            meta=tuple(sorted(meta.items())), loss=sgd.LOSS_RMSE,
+            biased=True, frequency_regularization=False)
+
+    key, sub = jax.random.split(key)
+    t0 = time.time()
+    W_ext, H_ext = epoch(W_ext, H_ext, sub)
+    _ = float(jnp.sum(W_ext[:8]))
+    print(f"blocked warmup+compile: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(REPS):
+        key, sub = jax.random.split(key)
+        W_ext, H_ext = epoch(W_ext, H_ext, sub)
+    _ = float(jnp.sum(W_ext[:8]))
+    dt_s = (time.time() - t0) / REPS
+    print(f"XLA blocked epoch: {n/dt_s/1e6:8.1f} M upd/s "
+          f"({dt_s*1000:.0f} ms/epoch)", flush=True)
+
+
 if __name__ == "__main__":
     if "--check" in sys.argv:
         check()
+    elif "--tiled" in sys.argv:
+        perf_tiled()
     else:
         perf()

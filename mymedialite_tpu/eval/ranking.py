@@ -226,25 +226,67 @@ def evaluate_items(recommender, test, training,
         a = np.asarray(arr)
         return jax.device_put(a, _row if a.ndim == 1 else _row2)
 
-    # per-user host-side prep (sets/counts only; no big arrays)
-    def user_prep(u):
-        test_items_u = (test.items_by_user(int(u)) if u < test.num_users
-                        else np.array([], dtype=np.int32))
-        correct = np.unique(test_items_u)
-        correct = correct[cand_mask[correct]]
-        if repeated_events or u >= training.num_users:
-            train_items_u = np.array([], dtype=np.int64)
-        else:
-            train_items_u = np.unique(training.items_by_user(int(u)))
-        ignored_in_cand = int(cand_mask[train_items_u].sum())
-        n_cand = num_candidates - ignored_in_cand
-        return correct, train_items_u, n_cand
-
     def _bucket(size):
         # power-of-two width buckets keep the jitted rank kernel's shape
         # set small (otherwise every batch's max history length is a new
         # shape -> recompile, catastrophic over the TPU tunnel)
         return 1 << max(0, int(size - 1).bit_length())
+
+    # batch-vectorized host prep over the CSR index (a per-user python
+    # loop with np.unique per user was the host-side bottleneck at
+    # bench scale — it serialized against the device pipeline)
+    cand_mask_ext = np.append(cand_mask, False)  # safe at pad num_items
+    te_csr = test.by_user
+    tr_csr = None if repeated_events else training.by_user
+
+    def _ragged_rows(csr, batch, num_rows):
+        """[B, P] padded per-user sorted item rows from the CSR (pad =
+        num_items, out-of-range for the kernel); users >= num_rows get
+        empty rows."""
+        B = batch.size
+        if num_rows == 0:
+            return np.full((B, 1), num_items, np.int32)
+        u = np.minimum(batch.astype(np.int64), num_rows - 1)
+        valid = batch < num_rows
+        starts = np.where(valid, csr.indptr[u], 0)
+        cnt = np.where(valid, (csr.indptr[u + 1] - csr.indptr[u]), 0)
+        P = _bucket(int(cnt.max()) if B else 1)
+        out = np.full((B, P), num_items, np.int32)
+        total = int(cnt.sum())
+        if total:
+            row_rep = np.repeat(np.arange(B), cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            out[row_rep, within] = csr.keys[np.repeat(starts, cnt) + within]
+        return out
+
+    def _uniq_mask(mat):
+        """First occurrence of each real item per (sorted) row."""
+        keep = mat < num_items
+        keep[:, 1:] &= mat[:, 1:] != mat[:, :-1]
+        return keep
+
+    def batch_prep(batch):
+        """Vectorized equivalent of the reference's per-user prep
+        (Eval/Items.cs:138-167): per-user unique train-item ignore rows,
+        unique correct (test ∩ candidates) rows compacted to the row
+        front, and effective candidate counts."""
+        if tr_csr is not None:
+            tmat = _ragged_rows(tr_csr, batch, training.num_users)
+            tkeep = _uniq_mask(tmat)
+            ignore_rows = np.where(tkeep, tmat, num_items)
+            ignored_in_cand = (tkeep & cand_mask_ext[tmat]).sum(axis=1)
+        else:
+            ignore_rows = np.full((batch.size, 1), num_items, np.int32)
+            ignored_in_cand = np.zeros(batch.size, np.int64)
+        n_cand_arr = num_candidates - ignored_in_cand
+
+        cmat = _ragged_rows(te_csr, batch, test.num_users)
+        ckeep = _uniq_mask(cmat) & cand_mask_ext[cmat]
+        correct_rows = np.where(ckeep, cmat, num_items)
+        correct_rows.sort(axis=1)  # kept items compact to the front
+        m_arr = ckeep.sum(axis=1)
+        return ignore_rows, correct_rows, m_arr, n_cand_arr
 
     # Phase 1: prep + dispatch every batch WITHOUT fetching — the device
     # (or the TPU tunnel) pipelines the fused kernels while the host
@@ -274,28 +316,20 @@ def evaluate_items(recommender, test, training,
                 np.asarray(recommender.score_catalog(batch),
                            dtype=np.float32))
 
-        preps = [user_prep(u) for u in batch[:nreal]]
         # padded rectangular index matrices; pad value num_items is
         # out-of-range (NEVER -1: jax wraps negative indices)
-        P = _bucket(max([1] + [t.size for _, t, _ in preps]))
-        P2 = _bucket(max([1] + [c.size for c, _, _ in preps]))
-        ignore_rows = np.full((batch.size, P), num_items, dtype=np.int32)
-        correct_rows = np.full((batch.size, P2), num_items, dtype=np.int32)
-        if not repeated_events:
-            for r, (_, train_items_u, _) in enumerate(preps):
-                ignore_rows[r, :train_items_u.size] = train_items_u
-        for r, (correct, _, _) in enumerate(preps):
-            correct_rows[r, :correct.size] = correct
-
+        ignore_rows, correct_rows, m_arr, n_cand_arr = batch_prep(batch)
         pending.append((rank_kernel(
             score_params, scores_in, cand_mask_dev,
-            _put(ignore_rows), _put(correct_rows)), preps))
+            _put(ignore_rows), _put(correct_rows)),
+            m_arr, n_cand_arr, nreal))
 
     # Phase 2: fetch + host-side rank math
-    for ranks_dev, preps in pending:
+    for ranks_dev, m_arr, n_cand_arr, nreal in pending:
         correct_ranks = np.asarray(ranks_dev)
-        for row, (correct, train_items_u, n_cand) in enumerate(preps):
-            m = int(correct.size)
+        for row in range(nreal):
+            m = int(m_arr[row])
+            n_cand = int(n_cand_arr[row])
             if m == 0 or m == n_cand:
                 continue  # reference Items.cs:152-163
             # ranks of ignored (train∩test) correct items are >= n_cand

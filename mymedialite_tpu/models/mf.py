@@ -213,16 +213,13 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
             from mymedialite_tpu.ops import pallas_sgd as ps
             if mode.startswith("tiled"):
                 # big-catalog shapes have sparse (512 x 1024) buckets;
-                # scale the chunk to the typical bucket so padding (and
-                # the packed-data footprint) stays bounded
-                n_bkt = max(((data.num_users + 511) // 512)
-                            * ((data.num_items + 1023) // 1024), 1)
-                avg = len(data) / n_bkt
-                chunk = int(min(640, max(128, ((avg + 127) // 128) * 128)))
+                # chunk=None lets the planner pick the histogram-optimal
+                # chunk so padding (and the packed-data footprint) stays
+                # bounded under skewed bucket-size distributions
                 self._mxu_plan = ps.prepare_mxu_tiled(
                     data.users, data.items, data.values, data.num_users,
                     data.num_items, user_block=512, item_block=1024,
-                    chunk=chunk, shuffle_seed=self.random_seed,
+                    chunk=None, shuffle_seed=self.random_seed,
                     slab_blocks=ps.default_slab_blocks(self.num_factors))
             else:
                 self._mxu_plan = ps.prepare_mxu_data(

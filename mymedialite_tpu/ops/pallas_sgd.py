@@ -113,7 +113,7 @@ class MxuPlan:
 
 def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
                      user_block: int = 512, item_block: int = 1024,
-                     chunk: int = 256, shuffle_seed=0) -> MxuPlan:
+                     chunk=256, shuffle_seed=0) -> MxuPlan:
     """Bucket the rating stream by (user_block x item_block) blocks with
     popularity-balanced item blocks; pad each bucket to chunk multiples."""
     n = len(users)
@@ -149,6 +149,15 @@ def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
     nbkt = n_ub * n_ib
     bcount = np.bincount(bucket, minlength=nbkt) if n else \
         np.zeros(nbkt, np.int64)
+    if chunk is None:
+        # histogram-optimal chunk: per-bucket padding depends on the
+        # actual (often skewed) bucket-size distribution, not its mean —
+        # pick the candidate minimizing total padded slots, preferring
+        # larger chunks on near-ties (fewer, fatter MXU dispatches)
+        cands = (128, 256, 384, 512, 640)
+        tots = [int((((bcount + c - 1) // c) * c).sum()) for c in cands]
+        lo = min(tots)
+        chunk = max(c for c, t in zip(cands, tots) if t <= 1.03 * lo)
     pcount = ((bcount + chunk - 1) // chunk) * chunk  # 0 stays 0
     poff = np.concatenate([[0], np.cumsum(pcount)])
     total = int(poff[-1])
@@ -460,9 +469,20 @@ def mxu_supported(num_items: int, num_factors: int,
 
 @dataclass
 class MxuTiledPlan:
-    """Host-side layout for the slab-tiled MXU epoch."""
+    """Host-side layout for the tiled MXU epoch (flat slab-major grid).
+
+    The epoch is a single flat chunk schedule sorted (slab, ublock):
+    the kernel keeps ONE item-table slab and ONE user block in VMEM
+    scratch and swaps them by explicit blocking DMA exactly when the
+    prefetched slab/ublock id changes. Unlike a scan-over-slabs design,
+    there is no per-slab grid padding — skewed catalogs (one slab
+    holding most of the rating mass, e.g. a popularity head item) cost
+    nothing extra. The schedule is split into fixed-size passes
+    (``pass_len``) only to bound the scalar-prefetch (SMEM) footprint;
+    a lax.scan threads W/H between passes."""
     num_slabs: int
-    nc_pad: int              # per-slab grid size (max chunks over slabs)
+    num_passes: int
+    pass_len: int            # grid size per pallas pass
     chunk: int
     user_block: int
     item_block: int
@@ -476,7 +496,6 @@ class MxuTiledPlan:
     packed: jnp.ndarray = field(repr=False)
     ub_c: np.ndarray = field(repr=False)      # [nc] layout order
     ib_c: np.ndarray = field(repr=False)
-    rows_by_slab: list = field(repr=False)    # chunk indices per slab
     new_of_old: np.ndarray = field(repr=False)
     old_of_new: np.ndarray = field(repr=False)
 
@@ -494,35 +513,47 @@ class MxuTiledPlan:
         return self.num_slabs * self.slab_rows
 
     def meta(self, fe: int) -> tuple:
-        return (self.nc_pad, self.chunk, self.user_block, self.item_block,
-                self.n_ublocks, self.slab_rows, fe)
+        return (self.pass_len, self.chunk, self.user_block,
+                self.item_block, self.n_ublocks, self.slab_rows, fe)
 
     def epoch_order(self, seed) -> tuple:
-        """Per-epoch visit order, [S, nc_pad] each of (ub, ib_rel, row):
-        within each slab, chunks stay grouped by ublock (contiguous
-        user-block residency), randomized within each group; pad entries
-        repeat the last real ublock (no extra W block swap) and point at
-        the all-zero pad chunk."""
-        S, nc_pad = self.num_slabs, self.nc_pad
+        """Per-epoch visit order, [num_passes, pass_len] each of
+        (ub, ib_rel, slab, row): chunks sorted by slab, grouped by
+        ublock within the slab (contiguous slab + user-block residency),
+        randomized within each (slab, ublock) cell. Tail pad entries
+        repeat the last real ublock/slab (no extra DMA) and point at the
+        all-zero pad chunk. With one slab the keys reduce to the
+        resident kernel's (ub*2 + rand) — identical visit order."""
+        nc = self.ub_c.size
+        sl_c = (self.ib_c // self.slab_blocks).astype(np.int32)
+        if seed is None:
+            perm = np.argsort(
+                sl_c.astype(np.float64) * (2.0 * self.n_ublocks)
+                + self.ub_c * 2.0, kind="stable")
+        else:
+            rng = np.random.default_rng(seed)
+            perm = np.argsort(
+                sl_c.astype(np.float64) * (2.0 * self.n_ublocks)
+                + self.ub_c * 2.0 + rng.random(nc), kind="stable")
+        tot = self.num_passes * self.pass_len
         zero_row = self.packed.shape[0] - 1
-        rng = None if seed is None else np.random.default_rng(seed)
-        ub = np.zeros((S, nc_pad), np.int32)
-        ib = np.zeros((S, nc_pad), np.int32)
-        row = np.full((S, nc_pad), zero_row, np.int32)
-        for s, rows in enumerate(self.rows_by_slab):
-            if rows.size == 0:
-                continue
-            if rng is None:
-                perm = np.arange(rows.size)
-            else:
-                perm = np.argsort(self.ub_c[rows].astype(np.float64) * 2.0
-                                  + rng.random(rows.size), kind="stable")
-            r = rows[perm]
-            ub[s, :r.size] = self.ub_c[r]
-            ib[s, :r.size] = self.ib_c[r] - s * self.slab_blocks
-            row[s, :r.size] = r
-            ub[s, r.size:] = self.ub_c[r[-1]]
-        return jnp.asarray(ub), jnp.asarray(ib), jnp.asarray(row)
+        ub = np.zeros(tot, np.int32)
+        ibr = np.zeros(tot, np.int32)
+        sl = np.zeros(tot, np.int32)
+        row = np.full(tot, zero_row, np.int32)
+        ub[:nc] = self.ub_c[perm]
+        sl[:nc] = sl_c[perm]
+        ibr[:nc] = self.ib_c[perm] - sl[:nc] * self.slab_blocks
+        row[:nc] = perm
+        if nc and tot > nc:
+            ub[nc:] = ub[nc - 1]
+            sl[nc:] = sl[nc - 1]
+            ibr[nc:] = ibr[nc - 1]
+        shape = (self.num_passes, self.pass_len)
+        return (jnp.asarray(ub.reshape(shape)),
+                jnp.asarray(ibr.reshape(shape)),
+                jnp.asarray(sl.reshape(shape)),
+                jnp.asarray(row.reshape(shape)))
 
 
 # the tiled epoch's slab budget: smaller than the resident kernel's item
@@ -539,28 +570,136 @@ def default_slab_blocks(num_factors: int, item_block: int = 1024) -> int:
 
 def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
                       *, user_block: int = 512, item_block: int = 1024,
-                      chunk: int = 640, slab_blocks: int = 8,
-                      shuffle_seed=0) -> MxuTiledPlan:
+                      chunk=None, slab_blocks: int = 8,
+                      shuffle_seed=0, pass_len: int = 8192) -> MxuTiledPlan:
     """prepare_mxu_data + regroup the chunks into item-table slabs."""
     plan = prepare_mxu_data(users, items, values, num_users, num_items,
                             user_block=user_block, item_block=item_block,
                             chunk=chunk, shuffle_seed=shuffle_seed)
     B0 = min(slab_blocks, plan.n_iblocks)
     S = (plan.n_iblocks + B0 - 1) // B0
-    slab_of = plan.ib_c // B0
-    # layout order is (ub, ib)-sorted, so per-slab subsequences stay
-    # grouped by ublock
-    rows_by_slab = [np.nonzero(slab_of == s)[0] for s in range(S)]
-    nc_pad = max(max((r.size for r in rows_by_slab), default=1), 1)
+    P = min(pass_len, max(plan.num_chunks, 1))
+    n_pass = max((plan.num_chunks + P - 1) // P, 1)
     zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
     return MxuTiledPlan(
-        num_slabs=S, nc_pad=nc_pad, chunk=plan.chunk,
+        num_slabs=S, num_passes=n_pass, pass_len=P, chunk=plan.chunk,
         user_block=plan.user_block, item_block=plan.item_block,
         slab_blocks=B0, n_ublocks=plan.n_ublocks, n_iblocks=plan.n_iblocks,
         num_users=num_users, num_items=num_items, n_ratings=plan.n_ratings,
         packed=jnp.concatenate([plan.packed, zero]),
-        ub_c=plan.ub_c, ib_c=plan.ib_c, rows_by_slab=rows_by_slab,
+        ub_c=plan.ub_c, ib_c=plan.ib_c,
         new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
+
+
+def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref,  # prefetch (SMEM)
+                          w_hbm, h_hbm, data_ref, rates_ref, hp_ref,
+                          w_out, h_out,
+                          w_vmem, h_vmem, sem_w, sem_h, *,
+                          loss: int, biased: bool, C: int, UB: int,
+                          IB: int, SLAB: int, mxu_dtype):
+    """Flat-grid tiled SGD step: same math as _mxu_sgd_kernel, but BOTH
+    the user block and the item-table slab live in VMEM scratch and are
+    swapped by explicit blocking DMA when the prefetched ublock/slab id
+    changes. Blocking (start+wait in program order) makes revisits safe:
+    a block's writeback always completes before any refetch of the same
+    HBM region — the ordering a BlockSpec-pipelined operand cannot
+    guarantee once blocks are revisited across slabs.
+
+    Tables are TRANSPOSED here ([fe, rows], unlike the resident
+    kernel): Mosaic requires HBM slices to be lane-tile (128) aligned
+    in the minor dim, which fe=64 can never satisfy — with rows minor,
+    every slice offset/extent is a multiple of UB/IB/SLAB >= 128. The
+    compute already runs in [fe, C] orientation, so only the
+    gather/scatter contraction dims change."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    first = c == 0
+    cur_ub = ub_ref[c]
+    prev_ub = ub_ref[jnp.maximum(c - 1, 0)]
+    cur_sl = sl_ref[c]
+    prev_sl = sl_ref[jnp.maximum(c - 1, 0)]
+
+    @pl.when(first | (cur_sl != prev_sl))
+    def _():
+        @pl.when(jnp.logical_not(first))
+        def _():
+            cp = pltpu.make_async_copy(
+                h_vmem, h_out.at[:, pl.ds(prev_sl * SLAB, SLAB)], sem_h)
+            cp.start()
+            cp.wait()
+        cp = pltpu.make_async_copy(
+            h_hbm.at[:, pl.ds(cur_sl * SLAB, SLAB)], h_vmem, sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(first | (cur_ub != prev_ub))
+    def _():
+        @pl.when(jnp.logical_not(first))
+        def _():
+            cp = pltpu.make_async_copy(
+                w_vmem, w_out.at[:, pl.ds(prev_ub * UB, UB)], sem_w)
+            cp.start()
+            cp.wait()
+        cp = pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
+        cp.start()
+        cp.wait()
+
+    ib = ib_ref[c]
+    d = data_ref[0]                      # [4, C] int32 (one DMA per chunk)
+    u = d[0:1]                           # [1, C] int32, local in user block
+    i = d[1:2]                           # [1, C] int32, local in item block
+    v = pltpu.bitcast(d[2:3], jnp.float32)
+    wt = pltpu.bitcast(d[3:4], jnp.float32)
+
+    Wb = w_vmem[:]                       # [fe, UB] f32
+    Hb = h_vmem[:, pl.ds(ib * IB, IB)]   # [fe, IB] f32
+
+    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
+           == u).astype(mxu_dtype)       # [UB, C] one-hot
+    pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
+           == i).astype(mxu_dtype)       # [IB, C]
+
+    wu = jax.lax.dot_general(
+        Wb.astype(mxu_dtype), put, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, C]
+    hi = jax.lax.dot_general(
+        Hb.astype(mxu_dtype), pit, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, C]
+
+    score = jnp.sum(wu * hi, axis=0, keepdims=True)    # [1, C]
+    gb = hp_ref[0, 0]
+    if biased:
+        sig = jax.nn.sigmoid(score + gb)
+        pred = hp_ref[0, 1] + sig * hp_ref[0, 2]
+        g_com = _gradient_common(loss, v - pred, sig, hp_ref[0, 2]) * wt
+    else:
+        g_com = (v - (score + gb)) * wt
+
+    w_lr = rates_ref[:, 0:1]
+    w_reg = rates_ref[:, 1:2]
+    h_lr = rates_ref[:, 2:3]
+    h_reg = rates_ref[:, 3:4]
+    delta_w = w_lr * (g_com * hi - wt * w_reg * wu)    # [fe, C]
+    delta_h = h_lr * (g_com * wu - wt * h_reg * hi)
+
+    w_vmem[:] = Wb + jax.lax.dot_general(
+        delta_w.astype(mxu_dtype), put, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, UB]
+    h_vmem[:, pl.ds(ib * IB, IB)] = Hb + jax.lax.dot_general(
+        delta_h.astype(mxu_dtype), pit, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [fe, IB]
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_vmem, w_out.at[:, pl.ds(cur_ub * UB, UB)], sem_w)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            h_vmem, h_out.at[:, pl.ds(cur_sl * SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(
@@ -571,43 +710,79 @@ def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
 def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
                         meta, num_slabs: int, loss: int, biased: bool,
                         mxu_dtype: str = "bf16", interpret: bool = False):
-    """One epoch over ``num_slabs`` slab passes: each pass runs the SAME
-    validated kernel as sgd_epoch_mxu with one item-table slab resident
-    in VMEM (meta's i_pad = plan.slab_rows), on that slab's chunks. The
-    slab is sliced/reassembled at the XLA level (static indices, ~10MB
-    copies — microseconds at HBM bandwidth), so slab writebacks are
-    ordered before the next pass's reads by XLA dataflow, not DMA-queue
-    timing. meta = plan.meta(fe); data = plan.packed; order =
-    plan.epoch_order(seed) ([S, nc_pad] arrays)."""
-    nc, C, UB, IB, n_ub, slab_rows, fe = meta
-    ub, ib, row = order
+    """One epoch over the flat slab-major schedule: a single kernel
+    instance (one Mosaic compile) scanned over fixed-size passes; the
+    item slab + user block swap by in-kernel blocking DMA only when the
+    prefetched ids change, so schedule length — and epoch cost — scales
+    with the REAL chunk count, independent of per-slab skew. meta =
+    plan.meta(fe); data = plan.packed; order = plan.epoch_order(seed)
+    ([num_passes, pass_len] arrays)."""
+    P, C, UB, IB, n_ub, slab_rows, fe = meta
+    ub, ibr, sl, row = order
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
-    # lax.scan over slabs: ONE pallas_call instance (one Mosaic compile
-    # regardless of slab count); the carry threading makes XLA order
-    # every slab writeback before the next pass's reads
+    kernel = functools.partial(
+        _mxu_sgd_tiled_kernel, loss=loss, biased=biased, C=C, UB=UB,
+        IB=IB, SLAB=slab_rows, mxu_dtype=dt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # W (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # H (HBM)
+            pl.BlockSpec((1, 4, C),
+                         lambda c, ub, ib, sl, row: (row[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 4), lambda c, ub, ib, sl, row: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda c, ub, ib, sl, row: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((fe, UB), jnp.float32),
+            pltpu.VMEM((fe, slab_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((fe, n_ub * UB), jnp.float32),
+            jax.ShapeDtypeStruct((fe, num_slabs * slab_rows), jnp.float32),
+        ],
+        # inputs: 0..3 scalar prefetch, 4 = W, 5 = H
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interpret,
+    )
+
     def body(carry, xs):
         W, H = carry
-        s, ub_s, ib_s, row_s = xs
-        slab = jax.lax.dynamic_slice_in_dim(H, s * slab_rows, slab_rows)
-        W, slab = _mxu_epoch_call(
-            W, slab, data, ub_s, ib_s, row_s, hp_vec, rates,
-            meta=meta, loss=loss, biased=biased, dt=dt,
-            interpret=interpret)
-        H = jax.lax.dynamic_update_slice_in_dim(H, slab, s * slab_rows, 0)
+        ub_s, ib_s, sl_s, row_s = xs
+        W, H = call(ub_s, ib_s, sl_s, row_s, W, H, data, rates, hp_vec)
         return (W, H), None
 
-    (W_ext, H_ext), _ = jax.lax.scan(
-        body, (W_ext, H_ext),
-        (jnp.arange(num_slabs, dtype=jnp.int32), ub, ib, row))
-    return W_ext, H_ext
+    # transposed table views (see kernel docstring); the transposes are
+    # two fused relayout passes at HBM bandwidth, amortized per epoch
+    Wt = W_ext.T
+    Ht = H_ext.T
+    (Wt, Ht), _ = jax.lax.scan(body, (Wt, Ht), (ub, ibr, sl, row))
+    return Wt.T, Ht.T
 
 
 def mxu_tiled_supported(num_items: int, num_factors: int,
                         item_block: int = 1024, slab_blocks: int = None,
                         max_slabs: int = 128) -> bool:
     """Whether the slab-tiled epoch applies: one slab in VMEM, catalog
-    within max_slabs slabs (pass-count, i.e. compile-unroll, bound)."""
+    within max_slabs slabs (bounds the padded item-table footprint; the
+    flat schedule's cost is slab-count independent)."""
     if slab_blocks is None:
         slab_blocks = default_slab_blocks(num_factors, item_block)
     fe = max(64, _round_up(num_factors + 2, 8))

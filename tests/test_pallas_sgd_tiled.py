@@ -38,35 +38,33 @@ def _hp():
 
 
 def oracle_tiled(We, He, plan, order, rates):
-    """Slab-major chunk-sequential minibatch SGD in numpy (f32, exact) —
-    biased RMSE case (mirrors exp_mxu.py's oracle, over the tiled visit
-    order)."""
+    """Flat slab-major chunk-sequential minibatch SGD in numpy (f32,
+    exact) — biased RMSE case (mirrors exp_mxu.py's oracle, over the
+    tiled visit order)."""
     We = np.asarray(We).copy()
     He = np.asarray(He).copy()
-    ub, ib, row = [np.asarray(x) for x in order]
+    ub, ibr, sl, row = [np.asarray(x).reshape(-1) for x in order]
     packed = np.asarray(plan.packed)
     UB, IB = plan.user_block, plan.item_block
     w_lr, w_reg, h_lr, h_reg = np.asarray(rates).T
     gb, minr, rrange = 3.0, 1.0, 4.0
-    for s in range(plan.num_slabs):
-        base = s * plan.slab_rows
-        for c in range(plan.nc_pad):
-            d = packed[row[s, c]]
-            u = d[0]
-            i = d[1]
-            v = d[2].view(np.float32)
-            wt = d[3].view(np.float32)
-            ug = ub[s, c] * UB + u
-            ig = base + ib[s, c] * IB + i
-            wu, hi = We[ug], He[ig]
-            score = np.sum(wu * hi, axis=1)
-            sig = 1.0 / (1.0 + np.exp(-(score + gb)))
-            pred = minr + sig * rrange
-            g = (v - pred) * sig * (1 - sig) * rrange * wt
-            dw = w_lr * (g[:, None] * hi - wt[:, None] * w_reg * wu)
-            dh = h_lr * (g[:, None] * wu - wt[:, None] * h_reg * hi)
-            np.add.at(We, ug, dw)
-            np.add.at(He, ig, dh)
+    for c in range(row.size):
+        d = packed[row[c]]
+        u = d[0]
+        i = d[1]
+        v = d[2].view(np.float32)
+        wt = d[3].view(np.float32)
+        ug = ub[c] * UB + u
+        ig = sl[c] * plan.slab_rows + ibr[c] * IB + i
+        wu, hi = We[ug], He[ig]
+        score = np.sum(wu * hi, axis=1)
+        sig = 1.0 / (1.0 + np.exp(-(score + gb)))
+        pred = minr + sig * rrange
+        g = (v - pred) * sig * (1 - sig) * rrange * wt
+        dw = w_lr * (g[:, None] * hi - wt[:, None] * w_reg * wu)
+        dh = h_lr * (g[:, None] * wu - wt[:, None] * h_reg * hi)
+        np.add.at(We, ug, dw)
+        np.add.at(He, ig, dh)
     return We, He
 
 
@@ -103,8 +101,10 @@ class TestTiledKernel:
         users, items, values, W0, H0, bu, bi = _toy(seed=3)
         tplan = ps.prepare_mxu_tiled(
             users, items, values, 50, 60, user_block=16, item_block=16,
-            chunk=8, slab_blocks=1, shuffle_seed=2)
+            chunk=8, slab_blocks=1, shuffle_seed=2, pass_len=16)
         assert tplan.num_slabs == tplan.n_iblocks > 1
+        # multiple passes: covers the pass-boundary writeback/refetch
+        assert tplan.num_passes > 2
         base = ps.prepare_mxu_data(users, items, values, 50, 60,
                                    user_block=16, item_block=16, chunk=8,
                                    shuffle_seed=2)
@@ -132,7 +132,7 @@ class TestTiledKernel:
         tplan = ps.prepare_mxu_tiled(
             users, items, values, 50, 60, user_block=16, item_block=16,
             chunk=8, slab_blocks=2, shuffle_seed=0)
-        _, _, row = tplan.epoch_order(5)
+        _, _, _, row = tplan.epoch_order(5)
         row = np.asarray(row).reshape(-1)
         real = row[row < tplan.packed.shape[0] - 1]
         nc = tplan.packed.shape[0] - 1
