@@ -115,10 +115,11 @@ def perf():
     hp[0, :3] = [3.0, 1.0, 4.0]
     REPS = 3
 
-    import itertools
-    UBv = int(__import__("os").environ.get("UBV", 512))
-    for C, IB, dt in [(384, 1024, "bf16"), (512, 1024, "bf16"),
-                      (640, 1024, "bf16")]:
+    import os
+    UBv = int(os.environ.get("UBV", 512))
+    IBv = int(os.environ.get("IBV", 1024))
+    for C, IB, dt in [(384, IBv, "bf16"), (512, IBv, "bf16"),
+                      (640, IBv, "bf16")]:
         t0 = time.time()
         plan = ps.prepare_mxu_data(users, items, values, U, I,
                                    user_block=UBv, item_block=IB, chunk=C,

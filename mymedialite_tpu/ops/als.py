@@ -23,6 +23,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _batched_spd_solve(M, b):
+    """Exact batched SPD solve by hand-rolled Cholesky + substitutions.
+
+    XLA's batched ``linalg.solve``/``cholesky`` lower to LAPACK-style
+    column loops that run the TPU at a few GFLOP/s (measured 5.4 s for
+    480k 40x40 LU solves — the whole WRMF bottleneck, exp_als.py). A
+    right-looking Cholesky unrolled over the (static, small) factor dim
+    is ~40 wide batched ops the VPU streams at full rate: each step is
+    one [C, f-j, f-j] rank-1 update. Same math, same result up to fp
+    rounding order.
+
+    M: [C, f, f] SPD; b: [C, f]. Returns [C, f]."""
+    C0, f, _ = M.shape
+    # factor: S is the trailing Schur complement after j steps
+    cols = []
+    S = M
+    for j in range(f):
+        d = jnp.sqrt(S[:, 0, 0])
+        l = S[:, :, 0] / d[:, None]                   # [C, f-j], l[0]=d
+        cols.append(jnp.pad(l, ((0, 0), (j, 0))))
+        if j + 1 < f:
+            S = S[:, 1:, 1:] - l[:, 1:, None] * l[:, None, 1:]
+    L = jnp.stack(cols, axis=2)                       # [C, f, f] lower
+
+    # forward substitution: L y = b
+    ys = []
+    r = b
+    for j in range(f):
+        yj = r[:, 0] / L[:, j, j]
+        ys.append(yj)
+        r = r[:, 1:] - yj[:, None] * L[:, j + 1:, j]
+    y = jnp.stack(ys, axis=1)                         # [C, f]
+
+    # back substitution: L^T x = y
+    xs = []
+    r = y[:, ::-1]
+    for jr in range(f):
+        j = f - 1 - jr
+        xj = r[:, 0] / L[:, j, j]
+        xs.append(xj)
+        r = r[:, 1:] - xj[:, None] * L[:, j, :j][:, ::-1]
+    return jnp.stack(xs[::-1], axis=1)
+
+
 def _optimize_impl(H, hist, lens, alpha, reg, chunk: int):
     U, L = hist.shape
     f = H.shape[1]
@@ -39,7 +83,7 @@ def _optimize_impl(H, hist, lens, alpha, reg, chunk: int):
             "clf,clg->cfg", Hsm, Hsm, preferred_element_type=jnp.float32) \
             + reg * eye[None]
         b = (1.0 + alpha) * jnp.sum(Hsm, axis=1)  # reference HCp :127-133
-        return jnp.linalg.solve(M, b[..., None])[..., 0]
+        return _batched_spd_solve(M, b)
 
     W = jax.lax.map(solve_chunk,
                     (hist.reshape(-1, chunk, L), lens.reshape(-1, chunk)))
