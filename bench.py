@@ -339,7 +339,9 @@ def bench_eval():
     ptrain = PosOnlyData(train.users, train.items % split_at,
                          num_users=NUM_USERS, num_items=NUM_ITEMS)
     kw = dict(candidate_item_mode="UNION")
-    evaluate_items(m, test, ptrain, test_users=test_u[:64], **kw)  # warm
+    # warm with the full user set: a subset's bucketed ignore/correct
+    # widths can differ and the measured run would recompile
+    evaluate_items(m, test, ptrain, test_users=test_u, **kw)  # warm
     t0 = time.time()
     evaluate_items(m, test, ptrain, test_users=test_u, **kw)
     elapsed = time.time() - t0

@@ -23,6 +23,13 @@ def main():
     rng = np.random.default_rng(0)
     users = rng.integers(0, U, n).astype(np.int32)
     items = (np.minimum(rng.zipf(1.3, n), I) - 1).astype(np.int32)
+    # unique pairs only: train/test overlap is rejected by full-list
+    # evaluation (reference AUC.cs:64)
+    keys = np.unique(users.astype(np.int64) * I + items)
+    rng.shuffle(keys)
+    users = (keys // I).astype(np.int32)
+    items = (keys % I).astype(np.int32)
+    n = users.size
 
     from mymedialite_tpu.data.arrays import PosOnlyData
     split = int(n * 0.95)

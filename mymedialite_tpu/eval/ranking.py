@@ -166,6 +166,72 @@ def _user_measures(ranks_sorted: np.ndarray, m: int, n_cand: int, cutoff: int):
     return out
 
 
+def _measures_batch(ranks, m_arr, n_cand_arr, n, sums):
+    """Vectorized ``_user_measures`` over a [B, P2] rank matrix (the
+    per-user loop was the steady-state bottleneck of ranking eval at
+    bench scale). Rows hold the kernel's ranks for each user's correct
+    slots; pad slots return num_items-scale sentinels that sort past
+    every real rank. Accumulates measure sums into ``sums`` and returns
+    the number of evaluated users. Exactness vs the scalar path is
+    covered by tests (test_measures.py)."""
+    B, P2 = ranks.shape
+    m = m_arr.astype(np.int64)
+    n_cand = n_cand_arr.astype(np.int64)
+    ok = (m > 0) & (m != n_cand)       # reference Items.cs:152-163
+    if not ok.any():
+        return 0
+    ranks = np.sort(ranks, axis=1).astype(np.int64)
+    slot = np.arange(P2, dtype=np.int64)[None, :]
+    L = n_cand if n < 0 else np.minimum(n, n_cand)
+    valid = slot < m[:, None]
+    in_mask = valid & (ranks < L[:, None])
+    m_in = in_mask.sum(axis=1)
+    m_safe = np.maximum(m, 1)
+
+    # AUC with dropped-items correction (AUC.cs:42-68); sorted ranks
+    # make the in-list exactly the first m_in valid slots, so the
+    # in-list position k equals the slot index
+    dropped = n_cand - L
+    pairs = (n_cand - m_in) * m_in
+    term = np.where(in_mask,
+                    (L[:, None] - 1 - ranks) - (m_in[:, None] - 1 - slot),
+                    0)
+    missing_relevant = m - m_in
+    bad = ok & (pairs > 0) & (dropped - missing_relevant < 0)
+    if bad.any():
+        raise ValueError(
+            "more missing relevant items than dropped items — "
+            "train/test overlap with full-list evaluation (reference "
+            "AUC.cs:64 'Should not happen')")
+    correct_pairs = term.sum(axis=1) + m_in * (dropped - missing_relevant)
+    auc = np.where(pairs > 0, correct_pairs / np.maximum(pairs, 1), 0.5)
+
+    # AP (PrecisionAndRecall.cs:45-66)
+    ap = np.where(in_mask, (slot + 1) / (ranks + 1.0), 0.0).sum(axis=1) \
+        / m_safe
+    # NDCG (NDCG.cs:36-55): idcg via one cumulative table over max m
+    dcg = np.where(in_mask, 1.0 / np.log2(ranks + 2.0), 0.0).sum(axis=1)
+    max_m = int(m.max())
+    idcg_tab = np.concatenate(
+        [[1.0], np.cumsum(1.0 / np.log2(np.arange(max_m) + 2))])
+    ndcg = dcg / idcg_tab[np.minimum(m, max_m)]
+    # MRR (ReciprocalRank.cs:39-56): smallest rank = sorted slot 0
+    mrr = np.where(m_in > 0, 1.0 / (ranks[:, 0] + 1.0), 0.0)
+
+    okf = ok.astype(np.float64)
+    sums["AUC"] += float((auc * okf).sum())
+    sums["MAP"] += float((ap * okf).sum())
+    sums["NDCG"] += float((ndcg * okf).sum())
+    sums["MRR"] += float((mrr * okf).sum())
+    # prec@/recall@ (PrecisionAndRecall.cs:68-141)
+    for N in (5, 10):
+        cut = np.minimum(N, L)
+        hits = (valid & (ranks < cut[:, None])).sum(axis=1)
+        sums[f"prec@{N}"] += float((hits / N * okf).sum())
+        sums[f"recall@{N}"] += float((hits / m_safe * okf).sum())
+    return int(ok.sum())
+
+
 def evaluate_items(recommender, test, training,
                    test_users: Optional[Sequence[int]] = None,
                    candidate_items: Optional[Sequence[int]] = None,
@@ -239,18 +305,17 @@ def evaluate_items(recommender, test, training,
     te_csr = test.by_user
     tr_csr = None if repeated_events else training.by_user
 
-    def _ragged_rows(csr, batch, num_rows):
+    def _ragged_rows(csr, batch, num_rows, P):
         """[B, P] padded per-user sorted item rows from the CSR (pad =
         num_items, out-of-range for the kernel); users >= num_rows get
         empty rows."""
         B = batch.size
         if num_rows == 0:
-            return np.full((B, 1), num_items, np.int32)
+            return np.full((B, P), num_items, np.int32)
         u = np.minimum(batch.astype(np.int64), num_rows - 1)
         valid = batch < num_rows
         starts = np.where(valid, csr.indptr[u], 0)
         cnt = np.where(valid, (csr.indptr[u + 1] - csr.indptr[u]), 0)
-        P = _bucket(int(cnt.max()) if B else 1)
         out = np.full((B, P), num_items, np.int32)
         total = int(cnt.sum())
         if total:
@@ -259,6 +324,21 @@ def evaluate_items(recommender, test, training,
                 np.cumsum(cnt) - cnt, cnt)
             out[row_rep, within] = csr.keys[np.repeat(starts, cnt) + within]
         return out
+
+    def _col_width(csr, us, num_rows):
+        """One global row width per evaluate call (bucketed max history
+        over ALL test users): per-batch widths varied with each batch's
+        max and recompiled the rank kernel mid-eval."""
+        if num_rows == 0 or us.size == 0:
+            return 1
+        u = np.minimum(us.astype(np.int64), num_rows - 1)
+        cnt = np.where(us < num_rows,
+                       csr.indptr[u + 1] - csr.indptr[u], 0)
+        return _bucket(int(cnt.max()))
+
+    P_ignore = 1 if tr_csr is None else \
+        _col_width(tr_csr, test_users, training.num_users)
+    P_correct = _col_width(te_csr, test_users, test.num_users)
 
     def _uniq_mask(mat):
         """First occurrence of each real item per (sorted) row."""
@@ -272,7 +352,8 @@ def evaluate_items(recommender, test, training,
         unique correct (test ∩ candidates) rows compacted to the row
         front, and effective candidate counts."""
         if tr_csr is not None:
-            tmat = _ragged_rows(tr_csr, batch, training.num_users)
+            tmat = _ragged_rows(tr_csr, batch, training.num_users,
+                                P_ignore)
             tkeep = _uniq_mask(tmat)
             ignore_rows = np.where(tkeep, tmat, num_items)
             ignored_in_cand = (tkeep & cand_mask_ext[tmat]).sum(axis=1)
@@ -281,7 +362,7 @@ def evaluate_items(recommender, test, training,
             ignored_in_cand = np.zeros(batch.size, np.int64)
         n_cand_arr = num_candidates - ignored_in_cand
 
-        cmat = _ragged_rows(te_csr, batch, test.num_users)
+        cmat = _ragged_rows(te_csr, batch, test.num_users, P_correct)
         ckeep = _uniq_mask(cmat) & cand_mask_ext[cmat]
         correct_rows = np.where(ckeep, cmat, num_items)
         correct_rows.sort(axis=1)  # kept items compact to the front
@@ -324,23 +405,31 @@ def evaluate_items(recommender, test, training,
             _put(ignore_rows), _put(correct_rows)),
             m_arr, n_cand_arr, nreal))
 
-    # Phase 2: fetch + host-side rank math
-    for ranks_dev, m_arr, n_cand_arr, nreal in pending:
-        correct_ranks = np.asarray(ranks_dev)
-        for row in range(nreal):
-            m = int(m_arr[row])
-            n_cand = int(n_cand_arr[row])
-            if m == 0 or m == n_cand:
-                continue  # reference Items.cs:152-163
-            # ranks of ignored (train∩test) correct items are >= n_cand
-            # and fall out of the in-list filter automatically
-            correct_ranked = np.sort(correct_ranks[row, :m])
-
-            cutoff = n_cand if n < 0 else min(n, n_cand)
-            user_m = _user_measures(correct_ranked, m, n_cand, cutoff)
-            for key, value in user_m.items():
-                sums[key] += value
-            num_evaluated += 1
+    # Phase 2: fetch + vectorized rank math. Group pending rank
+    # matrices by width and fetch each group as ONE device->host
+    # transfer: per-batch fetches cost a full tunnel round trip each
+    # (~30 ms measured), which dominated steady-state eval time.
+    groups = {}
+    for entry in pending:
+        groups.setdefault(entry[0].shape[1], []).append(entry)
+    for items in groups.values():
+        if len(items) > 1:
+            ranks_all = np.asarray(
+                jnp.concatenate([it[0] for it in items], axis=0))
+        else:
+            ranks_all = np.asarray(items[0][0])
+        sel, m_l, nc_l = [], [], []
+        off = 0
+        for ranks_dev, m_arr, n_cand_arr, nreal in items:
+            sel.append(np.arange(off, off + nreal))
+            m_l.append(m_arr[:nreal])
+            nc_l.append(n_cand_arr[:nreal])
+            off += ranks_dev.shape[0]
+        # ranks of ignored (train∩test) correct items are >= n_cand and
+        # fall out of the in-list filter inside _measures_batch
+        num_evaluated += _measures_batch(
+            ranks_all[np.concatenate(sel)], np.concatenate(m_l),
+            np.concatenate(nc_l), n, sums)
 
     result = ItemRecommendationResults()
     for key in sums:

@@ -142,3 +142,67 @@ class TestRankKernelOracle:
                 c = correct[b, p]
                 expected = N if c >= N else ranks[b, c]
                 assert got[b, p] == expected, (b, p, c)
+
+
+class TestMeasuresBatch:
+    """The vectorized batch measures (eval/ranking.py _measures_batch)
+    must reproduce the scalar per-user reference implementation
+    (_user_measures) exactly — including skip rules and cutoffs."""
+
+    @pytest.mark.parametrize("n", [-1, 10])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_scalar_path(self, seed, n):
+        from mymedialite_tpu.eval.ranking import _measures_batch
+        from mymedialite_tpu.eval.results import ItemRecommendationResults
+
+        rng = np.random.default_rng(seed)
+        B, P2 = 40, 8
+        num_items = 50
+        m_arr = rng.integers(0, P2 + 1, B)
+        n_cand_arr = rng.integers(10, 40, B)
+        # guarantee a few skip cases: m == 0 and m == n_cand
+        m_arr[0] = 0
+        m_arr[1] = 5
+        n_cand_arr[1] = 5
+        ranks = np.full((B, P2), num_items, dtype=np.int64)
+        for b in range(B):
+            m = int(m_arr[b])
+            if m:
+                # distinct ranks below n_cand (valid ranking positions)
+                ranks[b, :m] = rng.choice(int(n_cand_arr[b]),
+                                          size=min(m, int(n_cand_arr[b])),
+                                          replace=False)
+                if m > n_cand_arr[b]:
+                    m_arr[b] = n_cand_arr[b]
+
+        sums = {k: 0.0 for k in ItemRecommendationResults.ALL_MEASURES}
+        count = _measures_batch(ranks.copy(), m_arr, n_cand_arr, n, sums)
+
+        exp = {k: 0.0 for k in sums}
+        exp_count = 0
+        for b in range(B):
+            m = int(m_arr[b])
+            n_cand = int(n_cand_arr[b])
+            if m == 0 or m == n_cand:
+                continue
+            cutoff = n_cand if n < 0 else min(n, n_cand)
+            got = _user_measures(np.sort(ranks[b, :m]), m, n_cand, cutoff)
+            for k, v in got.items():
+                exp[k] += v
+            exp_count += 1
+
+        assert count == exp_count
+        for k in exp:
+            assert sums[k] == pytest.approx(exp[k]), k
+
+    def test_overlap_raises(self):
+        from mymedialite_tpu.eval.ranking import _measures_batch
+
+        # a correct item that exists but can never be ranked (rank >=
+        # n_cand) with full-list evaluation -> reference AUC.cs:64 throws
+        ranks = np.array([[2, 30, 50, 50]], dtype=np.int64)
+        with pytest.raises(ValueError):
+            _measures_batch(ranks, np.array([2]), np.array([20]), -1,
+                            {k: 0.0 for k in
+                             ("AUC", "MAP", "NDCG", "MRR", "prec@5",
+                              "prec@10", "recall@5", "recall@10")})
