@@ -413,6 +413,52 @@ def bench_tiled():
     return upd_per_s
 
 
+def bench_bpr_tiled():
+    """Big-catalog BPR: the flat slab-tiled fused-sampling epoch
+    (ops/pallas_bpr.py bpr_epoch_mxu_tiled) through the model's own
+    iterate — the production path when the item table exceeds VMEM
+    (KDD-Cup Track-1 catalog: 624,961 items)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.data.arrays import PosOnlyData
+    from mymedialite_tpu.models.registry import create_item_recommender
+    from mymedialite_tpu.ops import pallas_bpr as pb
+    from mymedialite_tpu.ops import pallas_sgd as ps
+
+    U, I, n, f = 62_561, 624_961, 15_800_017, NUM_FACTORS
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1 or \
+            pb.mxu_supported(I, f) or not ps.mxu_tiled_supported(I, f):
+        print("SUITE bpr_tiled skipped (needs single-chip TPU + "
+              "beyond-VMEM catalog)", file=sys.stderr)
+        return None
+    rng = np.random.default_rng(6)
+    users = rng.integers(0, U, n).astype(np.int32)
+    items = (np.minimum(rng.zipf(1.2, n), I) - 1).astype(np.int32)
+    fb = PosOnlyData(users, items, num_users=U, num_items=I)
+
+    m = create_item_recommender("BPRMF")
+    m.num_factors = f
+    m.num_iter = 1
+    m.feedback = fb
+    t0 = time.time()
+    m.train()  # prep + compile + 1 epoch
+    assert getattr(m, "_bpr_tiled", None) is not None, \
+        "tiled BPR path did not engage"
+    print(f"bpr tiled prep+compile+1ep: {time.time() - t0:.1f}s "
+          f"(chunk={m._bpr_plan.chunk}, "
+          f"slabs={m._bpr_tiled['num_slabs']})", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(EPOCHS):
+        m.iterate()
+    float(jnp.sum(m.params["user_factors"][:8]))
+    triples_per_s = EPOCHS * n / (time.time() - t0)
+    print(f"SUITE bpr_tiled_triple_updates_per_s {triples_per_s/1e6:.2f}M "
+          f"({U}x{I}x{n}, {triples_per_s/BASELINE_UPDATES_PER_S:.0f}x "
+          f"reference)", file=sys.stderr)
+    return triples_per_s
+
+
 if __name__ == "__main__":
     main()
     if os.environ.get("BENCH_SUITE"):
@@ -421,3 +467,4 @@ if __name__ == "__main__":
         bench_wrmf()
         bench_eval()
         bench_tiled()
+        bench_bpr_tiled()

@@ -254,12 +254,16 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         if self.feedback is None:
             return ""
         from mymedialite_tpu.ops import pallas_bpr as pb
-        if not pb.mxu_supported(self.feedback.num_items, self.num_factors):
+        from mymedialite_tpu.ops import pallas_sgd as ps
+        fits = pb.mxu_supported(self.feedback.num_items, self.num_factors)
+        tiled = not fits and ps.mxu_tiled_supported(
+            self.feedback.num_items, self.num_factors)
+        if not fits and not tiled:
             return ""
         if env == "interpret":
-            return "interpret"
+            return "tiled-interpret" if tiled else "interpret"
         if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-            return "tpu"
+            return "tiled" if tiled else "tpu"
         return ""
 
     def _prepare_mxu(self):
@@ -269,6 +273,8 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         if not mode:
             return
         from mymedialite_tpu.ops import pallas_bpr as pb
+        from mymedialite_tpu.ops import pallas_sgd as ps
+        tiled = mode.startswith("tiled")
         plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
             self.feedback,
             # WBPR samples (u, i) uniform over events (WeightedBPRMF.cs:
@@ -276,12 +282,34 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             uniform_user=(self.uniform_user_sampling
                           and not self.MXU_POPULARITY),
             shuffle_seed=self.random_seed,
-            num_neg_trials=self.num_neg_trials)
+            num_neg_trials=self.num_neg_trials,
+            # big catalogs: histogram-optimal chunk + capped membership
+            # keys (see prepare_bpr_mxu docstring for the truncation
+            # bound argument; the [Kcap, C] rejection compare is the
+            # kernel's per-chunk cost ceiling, and the keys table is
+            # n_buckets * Kcap * 4B of HBM)
+            chunk=None if tiled else 640,
+            kcap=512 if tiled else None,
+            # the BPR kernel's fixed per-chunk cost (6 one-hot matmuls
+            # + 8 sequential rejection trials + conditioned DMAs)
+            # measures ~10-15us vs ~1.5us/128 marginal slots — weight
+            # the chunk choice accordingly (measured 2026-08-20)
+            chunk_overhead=1024 if tiled else 0)
         self._bpr_plan = plan
         self._bpr_neg_state = neg_state
         self._bpr_neg_meta = neg_meta
-        self._bpr_interpret = mode == "interpret"
+        self._bpr_interpret = mode.endswith("interpret")
         self._bpr_new_of_old = jnp.asarray(plan.new_of_old)
+        if tiled:
+            # half the SGD slab budget: TWO slab slots live in VMEM
+            sb = max(ps.default_slab_blocks(self.num_factors) // 2, 1)
+            packed_ext, S, n_pass, P, slab_items = pb.bpr_tiled_plan(
+                plan, neg_state["nvalid"], slab_blocks=sb)
+            self._bpr_tiled = dict(packed=packed_ext, num_slabs=S,
+                                   num_passes=n_pass, pass_len=P,
+                                   slab_items=slab_items, slab_blocks=sb)
+        else:
+            self._bpr_tiled = None
 
     def _iterate_mxu(self):
         """One epoch through the Pallas kernel: params convert to the
@@ -304,25 +332,54 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             f, fe, self.learn_rate, self.reg_u, self.reg_i, self.reg_j,
             self.bias_reg, self.update_j)
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
-        order = plan.epoch_order(
-            (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
         n_ib, Kcap, trials, num_items, _IB = self._bpr_neg_meta
-        ub_visit = plan.ub_c[np.asarray(order[2])]
-        jb, nval, bkt = pb.epoch_negative_plan(
-            plan, self._bpr_neg_state["nvalid"], ub_visit, num_items,
-            (self.random_seed + 7) * 999_983 + self._epoch_counter,
-            block_mass=(self._bpr_neg_state["block_mass"]
-                        if self.MXU_POPULARITY else None))
-        self._key, k_bits = jax.random.split(self._key)
-        bits = pb.epoch_random_bits(k_bits, nc=plan.num_chunks,
-                                    trials=trials, C=plan.chunk)
-        We, He, _neg = pb.bpr_epoch_mxu(
-            We, He, plan.packed, self._bpr_neg_state["keys_tbl"],
-            self._bpr_neg_state["cdf_tbl"], bits,
-            order, jb, nval, bkt, rates,
-            meta=plan.meta(fe) + (Kcap, trials),
-            soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
-            interpret=self._bpr_interpret)
+        seed = (self.random_seed + 1) * 1_000_003 + self._epoch_counter
+        tl = getattr(self, "_bpr_tiled", None)
+        if tl is not None:
+            self._key, k_bits = jax.random.split(self._key)
+            order = pb.bpr_tiled_epoch_order(
+                plan, self._bpr_neg_state["nvalid"], tl["slab_items"],
+                slab_blocks=tl["slab_blocks"], num_slabs=tl["num_slabs"],
+                num_passes=tl["num_passes"], pass_len=tl["pass_len"],
+                num_items=num_items, seed=seed,
+                block_mass=(self._bpr_neg_state["block_mass"]
+                            if self.MXU_POPULARITY else None))
+            bits = pb.epoch_random_bits(
+                k_bits, nc=tl["num_passes"] * tl["pass_len"],
+                trials=trials, C=plan.chunk).reshape(
+                tl["num_passes"], tl["pass_len"], trials, plan.chunk)
+            slab_rows = tl["slab_blocks"] * plan.item_block
+            # re-pad the item table to whole slabs
+            i_pad2 = tl["num_slabs"] * slab_rows
+            if He.shape[0] < i_pad2:
+                He = jnp.concatenate([He, jnp.zeros(
+                    (i_pad2 - He.shape[0], He.shape[1]), He.dtype)])
+            We, He, _neg = pb.bpr_epoch_mxu_tiled(
+                We, He, tl["packed"], self._bpr_neg_state["keys_tbl"],
+                self._bpr_neg_state["cdf_tbl"], bits, order, rates,
+                meta=(tl["pass_len"], plan.chunk, plan.user_block,
+                      plan.item_block, plan.n_ublocks, slab_rows, fe,
+                      Kcap, trials),
+                num_slabs=tl["num_slabs"], soft_margin=self.SOFT_MARGIN,
+                wbpr=self.MXU_POPULARITY, interpret=self._bpr_interpret)
+        else:
+            order = plan.epoch_order(seed)
+            ub_visit = plan.ub_c[np.asarray(order[2])]
+            jb, nval, bkt = pb.epoch_negative_plan(
+                plan, self._bpr_neg_state["nvalid"], ub_visit, num_items,
+                (self.random_seed + 7) * 999_983 + self._epoch_counter,
+                block_mass=(self._bpr_neg_state["block_mass"]
+                            if self.MXU_POPULARITY else None))
+            self._key, k_bits = jax.random.split(self._key)
+            bits = pb.epoch_random_bits(k_bits, nc=plan.num_chunks,
+                                        trials=trials, C=plan.chunk)
+            We, He, _neg = pb.bpr_epoch_mxu(
+                We, He, plan.packed, self._bpr_neg_state["keys_tbl"],
+                self._bpr_neg_state["cdf_tbl"], bits,
+                order, jb, nval, bkt, rates,
+                meta=plan.meta(fe) + (Kcap, trials),
+                soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
+                interpret=self._bpr_interpret)
         W, H, bias = pb.bpr_tables_from_mxu(
             We, He, self._bpr_new_of_old,
             num_users=p["user_factors"].shape[0], num_factors=f)

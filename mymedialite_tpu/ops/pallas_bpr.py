@@ -93,8 +93,9 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
-                    item_block: int = 1024, chunk: int = 640,
-                    shuffle_seed=0, num_neg_trials: int = 8):
+                    item_block: int = 1024, chunk=640,
+                    shuffle_seed=0, num_neg_trials: int = 8, kcap=None,
+                    chunk_overhead: int = 0):
     """Bucket the positive-event stream (like prepare_mxu_data for
     ratings) and build the kernel's negative-sampling state.
 
@@ -135,7 +136,8 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
 
     plan = prepare_mxu_data(users, items, weights, U, I,
                             user_block=user_block, item_block=item_block,
-                            chunk=chunk, shuffle_seed=shuffle_seed)
+                            chunk=chunk, shuffle_seed=shuffle_seed,
+                            chunk_overhead=chunk_overhead)
 
     # real-item count per (popularity-round-robin) item block: block b
     # holds items with new_id in [b*IB, b*IB + nvalid_b), contiguous by
@@ -158,6 +160,16 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     n_bkt = plan.n_ublocks * n_ib
     cnt = np.bincount(bkt_r, minlength=n_bkt)
     Kcap = _round_up(max(int(cnt.max()) if cnt.size else 1, 1), 128)
+    if kcap is not None and Kcap > kcap:
+        # capped membership (big-catalog path): buckets past the cap are
+        # truncated, so a draw may accept one of the user's TRUNCATED
+        # positives as a negative. Truncation only bites popularity-head
+        # buckets, and the negative BLOCK is drawn by item count (not
+        # mass), so the corrupted-triple fraction is
+        # ~ P(head block drawn) * (truncated-history density in block)
+        # — measured <1e-4 at KDD-Cup shape (noise-level label noise
+        # vs the reference's exact rejection, BPRMF.cs:279-284)
+        Kcap = _round_up(kcap, 128)
     # rows padded to a multiple of 8: the kernel streams 8-row-aligned
     # key blocks (Pallas block-shape constraint) and selects the row
     keys_tbl = np.full((_round_up(n_bkt, 8), Kcap), -1, np.int32)
@@ -165,7 +177,8 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     off = np.concatenate([[0], np.cumsum(cnt)])
     sb = bkt_r[order]
     within = np.arange(keys.size) - off[sb]
-    keys_tbl[sb, within] = keys[order]
+    keep = within < Kcap
+    keys_tbl[sb[keep], within[keep]] = keys[order][keep]
 
     # per-block popularity CDF (over local new-id slots): item at local
     # slot s of block b is old_of_new[b*IB + s]; pad slots get CDF 1.0,
@@ -522,3 +535,467 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
     )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, cdf_tbl,
       rand_bits, rates)
     return W_out, H_out, neg_dbg
+
+
+# ---------------------------------------------------------------------------
+# flat slab-tiled variant: big catalogs beyond the VMEM item-table budget
+# ---------------------------------------------------------------------------
+#
+# Same flat slab-major scheduling idea as pallas_sgd's tiled SGD epoch:
+# one positive-slab + one negative-slab + one user block stay
+# VMEM-resident and swap by in-kernel blocking DMA when the prefetched
+# ids change. The negative SLAB is drawn once per (islab, ublock) group
+# per epoch with P(slab) = slab_item_count / num_items, and each chunk
+# draws its negative block within that slab with P(b|slab) =
+# items_b / slab_items — the product is items_b / num_items, EXACTLY the
+# resident kernel's validated global block marginal (the per-slab mod
+# alignment holds structurally: the round-robin packing's +1-item blocks
+# form a prefix of every slab). Sharing one negative slab per group
+# extends the resident design's within-chunk block sharing to
+# group-level (variance, not bias); negatives within the block go
+# through the same capped-membership rejection sampler.
+
+
+def bpr_tiled_plan(plan: MxuPlan, nvalid: np.ndarray, *, slab_blocks: int,
+                   pass_len: int = 8192):
+    """Static tiled-schedule geometry: slab count, pass split, zero pad
+    chunk appended to packed. Returns (packed_ext, num_slabs, num_passes,
+    pass_len, slab_items)."""
+    B = min(slab_blocks, plan.n_iblocks)
+    S = (plan.n_iblocks + B - 1) // B
+    P = min(pass_len, max(plan.num_chunks, 1))
+    n_pass = max((plan.num_chunks + P - 1) // P, 1)
+    pad = np.zeros(S * B - plan.n_iblocks, np.int32)
+    slab_items = np.concatenate([nvalid.astype(np.int64), pad.astype(
+        np.int64)]).reshape(S, B).sum(axis=1)
+    zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
+    packed_ext = jnp.concatenate([plan.packed, zero])
+    return packed_ext, S, n_pass, P, slab_items
+
+
+def bpr_tiled_epoch_order(plan: MxuPlan, nvalid: np.ndarray,
+                          slab_items: np.ndarray, *, slab_blocks: int,
+                          num_slabs: int, num_passes: int, pass_len: int,
+                          num_items: int, seed, block_mass=None):
+    """Per-epoch tiled schedule + negative plan, [num_passes, pass_len]
+    arrays (ub, ibr, isl, jb, jbr, jsl, nval, bkt, row), sorted
+    (isl, jsl, ub) with in-cell shuffle. jsl per (isl, ub) group, jb per
+    chunk within the slab (see module comment for the exactness
+    argument); WBPR draws both by popularity mass
+    (WeightedBPRMF.cs:55-66)."""
+    rng = np.random.default_rng(seed)
+    nc = plan.num_chunks
+    B = min(slab_blocks, plan.n_iblocks)
+    n_ib = plan.n_iblocks
+    isl_c = (plan.ib_c // B).astype(np.int32)
+    ibr_c = (plan.ib_c - isl_c * B).astype(np.int32)
+
+    # one negative slab per (isl, ublock) group
+    gid = isl_c.astype(np.int64) * plan.n_ublocks + plan.ub_c
+    uniq, inv = np.unique(gid, return_inverse=True)
+    if block_mass is not None:
+        p = np.asarray(block_mass, dtype=np.float64)
+        pm = np.concatenate([p, np.zeros(num_slabs * B - n_ib)])
+        sm = pm.reshape(num_slabs, B).sum(axis=1)
+        jsl_g = rng.choice(num_slabs, size=uniq.size,
+                           p=sm / sm.sum()).astype(np.int32)
+    else:
+        r = rng.integers(0, max(num_items, 1), uniq.size)
+        jsl_g = ((r % n_ib) // B).astype(np.int32)
+    jsl_c = jsl_g[inv]
+
+    # per-chunk negative block within the group's slab
+    if block_mass is not None:
+        jbr_c = np.zeros(nc, np.int32)
+        for s in range(num_slabs):
+            sel = np.nonzero(jsl_c == s)[0]
+            if sel.size == 0:
+                continue
+            lo, hi = s * B, min((s + 1) * B, n_ib)
+            m = np.asarray(block_mass[lo:hi], dtype=np.float64)
+            m = m / m.sum()
+            jbr_c[sel] = rng.choice(hi - lo, size=sel.size,
+                                    p=m).astype(np.int32)
+    else:
+        si = np.maximum(slab_items[jsl_c], 1)
+        r2 = (rng.random(nc) * si).astype(np.int64)
+        n_blocks_of = np.minimum((jsl_c + 1) * B, n_ib) - jsl_c * B
+        jbr_c = (r2 % n_blocks_of).astype(np.int32)
+    jb_c = (jsl_c * B + jbr_c).astype(np.int32)
+
+    perm = np.argsort(
+        isl_c.astype(np.float64) * (2.0 * num_slabs * plan.n_ublocks)
+        + jsl_c * (2.0 * plan.n_ublocks) + plan.ub_c * 2.0
+        + rng.random(nc), kind="stable")
+
+    tot = num_passes * pass_len
+    zero_row = nc  # packed_ext's appended all-zero chunk
+
+    def _pad(a, pad_val=None):
+        out = np.empty(tot, np.int32)
+        out[:nc] = a[perm]
+        out[nc:] = out[nc - 1] if pad_val is None and nc else \
+            (pad_val if pad_val is not None else 0)
+        return jnp.asarray(out.reshape(num_passes, pass_len))
+
+    nval_c = np.maximum(nvalid[jb_c], 1).astype(np.int32)
+    bkt_c = (plan.ub_c.astype(np.int64) * n_ib + jb_c).astype(np.int32)
+    row = np.full(tot, zero_row, np.int32)
+    row[:nc] = perm
+    out = (_pad(plan.ub_c), _pad(ibr_c), _pad(isl_c), _pad(jb_c),
+           _pad(jbr_c), _pad(jsl_c), _pad(nval_c), _pad(bkt_c),
+           jnp.asarray(row.reshape(num_passes, pass_len)))
+    from mymedialite_tpu.ops.pallas_sgd import refetch_flags
+    ub2 = np.asarray(out[0])
+    isl2 = np.asarray(out[2])
+    jsl2 = np.asarray(out[5])
+    src = refetch_flags(ub2, 1) | _slab_refetch_flags(isl2, jsl2)
+    return out + (jnp.asarray(src.astype(np.int32)),)
+
+
+def _slab_refetch_flags(isl2d: np.ndarray, jsl2d: np.ndarray) -> np.ndarray:
+    """Fetch-source bits for the two slab slots (2 = positive slot0,
+    4 = negative slot1), mirroring the kernel's writeback conditions:
+    slot0 writes back when isl changes; slot1 when (isl, jsl) changes
+    and it was active (jsl != isl). A slab already written back this
+    pass must re-fetch from the aliased OUTPUT ref (see
+    pallas_sgd.refetch_flags)."""
+    flags = np.zeros(isl2d.shape, np.int32)
+    for p in range(isl2d.shape[0]):
+        ip, jp = isl2d[p], jsl2d[p]
+        change = (np.diff(ip) != 0) | (np.diff(jp) != 0)
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+        seen = set()
+        prev_i = prev_j = None
+        for s in starts:
+            ci, cj = int(ip[s]), int(jp[s])
+            if prev_i is not None:
+                if ci != prev_i:
+                    seen.add(prev_i)          # slot0 writeback
+                if prev_j != prev_i:
+                    seen.add(prev_j)          # slot1 writeback (ch1)
+            if (prev_i is None or ci != prev_i) and ci in seen:
+                flags[p, s] |= 2
+            if cj != ci and cj in seen:
+                flags[p, s] |= 4
+            prev_i, prev_j = ci, cj
+    return flags
+
+
+def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
+                          jsl_ref, nval_ref, bkt_ref, row_ref, src_ref,
+                          w_hbm, h_hbm, data_ref, jkeys_ref, cdf_ref,
+                          rand_ref, rates_ref,
+                          w_out, h_out, neg_out_ref,
+                          w_vmem, h_vmem, sem_w, sem_h, *,
+                          soft_margin: bool, C: int, UB: int, IB: int,
+                          SLAB: int, trials: int, wbpr: bool, mxu_dtype):
+    """Tiled BPR step: the resident kernel's fused sampling + triple
+    update, with tables TRANSPOSED ([fe, rows] — HBM slices must be
+    lane-tile aligned in the minor dim) and three manually-DMA'd
+    residents: the user block (w_vmem), the positive slab (h_vmem
+    columns [0, SLAB)), and the negative slab (columns [SLAB, 2*SLAB) —
+    aliased onto the positive slab when jsl == isl so same-slab i/j
+    updates see each other). All writebacks precede all fetches in
+    program order, so a slab leaving one slot and entering the other on
+    the same step stays coherent."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    first = c == 0
+    cur_ub = ub_ref[c]
+    prev_ub = ub_ref[jnp.maximum(c - 1, 0)]
+    cur_isl = isl_ref[c]
+    prev_isl = isl_ref[jnp.maximum(c - 1, 0)]
+    cur_jsl = jsl_ref[c]
+    prev_jsl = jsl_ref[jnp.maximum(c - 1, 0)]
+
+    ch0 = first | (cur_isl != prev_isl)
+    ch1 = first | (cur_jsl != prev_jsl) | (cur_isl != prev_isl)
+    chw = first | (cur_ub != prev_ub)
+    # refetch-source bits (pallas_sgd.refetch_flags): regions written
+    # back this pass re-fetch from the aliased OUTPUT ref (no-op on
+    # real TPU; exact under interpret, which does not simulate
+    # input_output_aliases)
+    srcf = src_ref[c]
+    out_w = (srcf & 1) != 0
+    out_i = (srcf & 2) != 0
+    out_j = (srcf & 4) != 0
+
+    # writebacks first (slot coherence across slot moves)
+    @pl.when(ch0 & jnp.logical_not(first))
+    def _():
+        cp = pltpu.make_async_copy(
+            h_vmem.at[:, pl.ds(0, SLAB)],
+            h_out.at[:, pl.ds(prev_isl * SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(ch1 & jnp.logical_not(first) & (prev_jsl != prev_isl))
+    def _():
+        cp = pltpu.make_async_copy(
+            h_vmem.at[:, pl.ds(SLAB, SLAB)],
+            h_out.at[:, pl.ds(prev_jsl * SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(chw & jnp.logical_not(first))
+    def _():
+        cp = pltpu.make_async_copy(
+            w_vmem, w_out.at[:, pl.ds(prev_ub * UB, UB)], sem_w)
+        cp.start()
+        cp.wait()
+
+    # then fetches
+    @pl.when(ch0 & jnp.logical_not(out_i))
+    def _():
+        cp = pltpu.make_async_copy(
+            h_hbm.at[:, pl.ds(cur_isl * SLAB, SLAB)],
+            h_vmem.at[:, pl.ds(0, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(ch0 & out_i)
+    def _():
+        cp = pltpu.make_async_copy(
+            h_out.at[:, pl.ds(cur_isl * SLAB, SLAB)],
+            h_vmem.at[:, pl.ds(0, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(ch1 & (cur_jsl != cur_isl) & jnp.logical_not(out_j))
+    def _():
+        cp = pltpu.make_async_copy(
+            h_hbm.at[:, pl.ds(cur_jsl * SLAB, SLAB)],
+            h_vmem.at[:, pl.ds(SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(ch1 & (cur_jsl != cur_isl) & out_j)
+    def _():
+        cp = pltpu.make_async_copy(
+            h_out.at[:, pl.ds(cur_jsl * SLAB, SLAB)],
+            h_vmem.at[:, pl.ds(SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+    @pl.when(chw & jnp.logical_not(out_w))
+    def _():
+        cp = pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
+        cp.start()
+        cp.wait()
+
+    @pl.when(chw & out_w)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_out.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
+        cp.start()
+        cp.wait()
+
+    ib = ib_ref[c]                         # slab-relative positive block
+    jbr = jbr_ref[c]                       # slab-relative negative block
+    d = data_ref[0]                        # [4, C] int32
+    u = d[0:1]
+    i = d[1:2]
+    base_w = pltpu.bitcast(d[2:3], jnp.float32)
+    pad_w = pltpu.bitcast(d[3:4], jnp.float32)
+
+    # --- fused negative sampling (identical to the resident kernel) ---
+    krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]
+    kt = jnp.transpose(krow, (1, 0))
+    if wbpr:
+        crow = cdf_ref[pl.ds(jb_ref[c] % 8, 1), :]
+        cdf_t = jnp.transpose(crow, (1, 0))
+    nv = nval_ref[c]
+    rnd = rand_ref[0]
+    ukey = u * IB
+    j = jnp.zeros((1, C), jnp.int32)
+    ok = jnp.zeros((1, C), jnp.bool_)
+    for t in range(trials):
+        if wbpr:
+            u01 = ((rnd[t:t + 1, :] & 0x7FFFFFFF).astype(jnp.float32)
+                   * jnp.float32(1.0 / 2147483648.0))
+            cand = jnp.sum((cdf_t < u01).astype(jnp.int32), axis=0,
+                           keepdims=True)
+        else:
+            cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
+        is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
+        take = jnp.logical_and(~ok, ~is_pos)
+        j = jnp.where(take, cand, j)
+        ok = jnp.logical_or(ok, ~is_pos)
+    neg_w = ok.astype(jnp.float32)
+    neg_out_ref[0, 0:1, :] = j
+    neg_out_ref[0, 1:2, :] = pltpu.bitcast(neg_w, jnp.int32)
+
+    wgt = base_w * pad_w * neg_w
+
+    # negative-block offset in whole IB blocks, multiplied by IB LAST so
+    # Mosaic can statically prove 128-alignment of the lane-dim index
+    SB = SLAB // IB
+    j_blk = jnp.where(cur_jsl != cur_isl, SB, 0) + jbr
+    Wb = w_vmem[:]                              # [fe, UB]
+    Hi = h_vmem[:, pl.ds(ib * IB, IB)]          # [fe, IB], slot 0
+    Hj = h_vmem[:, pl.ds(j_blk * IB, IB)]
+
+    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
+           == u).astype(mxu_dtype)
+    pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
+           == i).astype(mxu_dtype)
+    pjt = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
+           == j).astype(mxu_dtype)
+
+    wu = jax.lax.dot_general(
+        Wb.astype(mxu_dtype), put, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [fe, C]
+    hi = jax.lax.dot_general(
+        Hi.astype(mxu_dtype), pit, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hj = jax.lax.dot_general(
+        Hj.astype(mxu_dtype), pjt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    x = jnp.sum(wu * (hi - hj), axis=0, keepdims=True)
+    if soft_margin:
+        g = jnp.where(x < 1.0, 1.0, 0.0) * wgt
+    else:
+        g = jax.nn.sigmoid(-x) * wgt            # BPRMF.cs:339
+
+    w_lr = rates_ref[:, 0:1]
+    w_reg = rates_ref[:, 1:2]
+    i_lr = rates_ref[:, 2:3]
+    i_reg = rates_ref[:, 3:4]
+    j_lr = rates_ref[:, 4:5]
+    j_reg = rates_ref[:, 5:6]
+    delta_w = w_lr * (g * (hi - hj) - wgt * w_reg * wu)
+    delta_i = i_lr * (g * wu - wgt * i_reg * hi)
+    delta_j = j_lr * (-g * wu - wgt * j_reg * hj)
+
+    w_vmem[:] = Wb + jax.lax.dot_general(
+        delta_w.astype(mxu_dtype), put, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # i-block write before the j-block read-modify-write: when the two
+    # address the same region (isl == jsl and ib == jbr) the deltas sum
+    h_vmem[:, pl.ds(ib * IB, IB)] = Hi + jax.lax.dot_general(
+        delta_i.astype(mxu_dtype), pit, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Hj2 = h_vmem[:, pl.ds(j_blk * IB, IB)]
+    h_vmem[:, pl.ds(j_blk * IB, IB)] = Hj2 + jax.lax.dot_general(
+        delta_j.astype(mxu_dtype), pjt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(c == nc - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            w_vmem, w_out.at[:, pl.ds(cur_ub * UB, UB)], sem_w)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            h_vmem.at[:, pl.ds(0, SLAB)],
+            h_out.at[:, pl.ds(cur_isl * SLAB, SLAB)], sem_h)
+        cp.start()
+        cp.wait()
+
+        @pl.when(cur_jsl != cur_isl)
+        def _():
+            cp2 = pltpu.make_async_copy(
+                h_vmem.at[:, pl.ds(SLAB, SLAB)],
+                h_out.at[:, pl.ds(cur_jsl * SLAB, SLAB)], sem_h)
+            cp2.start()
+            cp2.wait()
+
+
+def bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+                        order, rates, *, meta, num_slabs: int,
+                        soft_margin: bool = False, wbpr: bool = False,
+                        mxu_dtype: str = "bf16", interpret: bool = False):
+    """One tiled BPR epoch (big catalogs). meta = (P, C, UB, IB, n_ub,
+    slab_rows, fe, Kcap, trials); data = bpr_tiled_plan's packed_ext;
+    order = bpr_tiled_epoch_order(...) ([np, P] arrays); rand_bits
+    [np, P, trials, C] (visit order); H_ext padded to num_slabs *
+    slab_rows rows. Returns (W_ext, H_ext, neg_dbg [np*P, 2, C] in
+    visit order)."""
+    return _bpr_epoch_mxu_tiled(
+        W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order, rates,
+        meta=meta, num_slabs=num_slabs, soft_margin=soft_margin,
+        wbpr=wbpr, mxu_dtype=mxu_dtype, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "num_slabs", "soft_margin", "wbpr",
+                     "mxu_dtype", "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+                         order, rates, *, meta, num_slabs: int,
+                         soft_margin: bool, wbpr: bool, mxu_dtype: str,
+                         interpret: bool):
+    P, C, UB, IB, n_ub, slab_rows, fe, Kcap, trials = meta
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+
+    kernel = functools.partial(
+        _mxu_bpr_tiled_kernel, soft_margin=soft_margin, C=C, UB=UB,
+        IB=IB, SLAB=slab_rows, trials=trials, wbpr=wbpr, mxu_dtype=dt)
+
+    def im(pos):
+        return lambda c, *pref: (pref[pos][c], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # W [fe, rows]
+            pl.BlockSpec(memory_space=pl.ANY),       # H [fe, rows]
+            pl.BlockSpec((1, 4, C), im(8), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Kcap),
+                         lambda c, *pref: (pref[7][c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, IB),
+                         lambda c, *pref: (pref[3][c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, trials, C),
+                         lambda c, *pref: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 6), lambda c, *pref: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, C), lambda c, *pref: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((fe, UB), jnp.float32),
+            pltpu.VMEM((fe, 2 * slab_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((fe, n_ub * UB), jnp.float32),
+            jax.ShapeDtypeStruct((fe, num_slabs * slab_rows),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((P, 2, C), jnp.int32),
+        ],
+        # inputs: 0..9 scalar prefetch, 10 = W, 11 = H
+        input_output_aliases={10: 0, 11: 1},
+        interpret=interpret,
+    )
+
+    def body(carry, xs):
+        W, H = carry
+        (ub_s, ib_s, isl_s, jb_s, jbr_s, jsl_s, nval_s, bkt_s, row_s,
+         src_s, bits_s) = xs
+        W, H, neg = call(ub_s, ib_s, isl_s, jb_s, jbr_s, jsl_s, nval_s,
+                         bkt_s, row_s, src_s, W, H, data, jkeys, cdf_tbl,
+                         bits_s, rates)
+        return (W, H), neg
+
+    Wt = W_ext.T
+    Ht = H_ext.T
+    (Wt, Ht), negs = jax.lax.scan(body, (Wt, Ht), order + (rand_bits,))
+    return Wt.T, Ht.T, negs.reshape(-1, 2, C)

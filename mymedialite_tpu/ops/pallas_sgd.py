@@ -113,7 +113,8 @@ class MxuPlan:
 
 def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
                      user_block: int = 512, item_block: int = 1024,
-                     chunk=256, shuffle_seed=0) -> MxuPlan:
+                     chunk=256, shuffle_seed=0,
+                     chunk_overhead: int = 0) -> MxuPlan:
     """Bucket the rating stream by (user_block x item_block) blocks with
     popularity-balanced item blocks; pad each bucket to chunk multiples."""
     n = len(users)
@@ -154,8 +155,14 @@ def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
         # actual (often skewed) bucket-size distribution, not its mean —
         # pick the candidate minimizing total padded slots, preferring
         # larger chunks on near-ties (fewer, fatter MXU dispatches)
+        # chunk_overhead: the kernel's FIXED per-chunk cost in
+        # slot-equivalents (grid step + DMA conditions + fused sampling
+        # for the BPR kernel) — bigger chunks amortize it at the price
+        # of more per-bucket padding
         cands = (128, 256, 384, 512, 640)
-        tots = [int((((bcount + c - 1) // c) * c).sum()) for c in cands]
+        tots = [int((((bcount + c - 1) // c) * c).sum())
+                + int((((bcount + c - 1) // c)).sum()) * chunk_overhead
+                for c in cands]
         lo = min(tots)
         chunk = max(c for c, t in zip(cands, tots) if t <= 1.03 * lo)
     pcount = ((bcount + chunk - 1) // chunk) * chunk  # 0 stays 0
@@ -550,10 +557,41 @@ class MxuTiledPlan:
             sl[nc:] = sl[nc - 1]
             ibr[nc:] = ibr[nc - 1]
         shape = (self.num_passes, self.pass_len)
-        return (jnp.asarray(ub.reshape(shape)),
+        ub2, sl2 = ub.reshape(shape), sl.reshape(shape)
+        src = (refetch_flags(ub2, 1)
+               | refetch_flags(sl2, 2)).astype(np.int32)
+        return (jnp.asarray(ub2),
                 jnp.asarray(ibr.reshape(shape)),
-                jnp.asarray(sl.reshape(shape)),
-                jnp.asarray(row.reshape(shape)))
+                jnp.asarray(sl2),
+                jnp.asarray(row.reshape(shape)),
+                jnp.asarray(src))
+
+
+def refetch_flags(keys2d: np.ndarray, bit: int) -> np.ndarray:
+    """Per-chunk fetch-source bitmask for a manually-DMA'd resident.
+
+    ``bit`` is set at a run start whose region was already WRITTEN BACK
+    earlier in the same pass: the kernel must re-fetch it from the
+    (input-output aliased) OUTPUT buffer. On real TPU in/out are the
+    same HBM buffer and the flag changes nothing; in interpret mode
+    (tests) aliasing is NOT simulated, so reading the input ref after a
+    writeback returns stale data — the flag restores exact semantics.
+    keys2d: [num_passes, pass_len] region ids (runs = residency)."""
+    flags = np.zeros(keys2d.shape, np.int32)
+    for p in range(keys2d.shape[0]):
+        kp = keys2d[p]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(kp))[0] + 1])
+        seen = set()
+        prev = None
+        for s in starts:
+            v = int(kp[s])
+            if prev is not None:
+                seen.add(prev)     # writeback of the departing region
+            if v in seen:
+                flags[p, s] |= bit
+            prev = v
+    return flags
 
 
 # the tiled epoch's slab budget: smaller than the resident kernel's item
@@ -591,7 +629,7 @@ def prepare_mxu_tiled(users, items, values, num_users: int, num_items: int,
         new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
 
 
-def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref,  # prefetch (SMEM)
+def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref, src_ref,
                           w_hbm, h_hbm, data_ref, rates_ref, hp_ref,
                           w_out, h_out,
                           w_vmem, h_vmem, sem_w, sem_h, *,
@@ -619,6 +657,14 @@ def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref,  # prefetch (SMEM)
     cur_sl = sl_ref[c]
     prev_sl = sl_ref[jnp.maximum(c - 1, 0)]
 
+    # src_ref: refetch-source bitmask (see refetch_flags) — regions
+    # already written back this pass re-fetch from the aliased OUTPUT
+    # ref (no-op on real TPU; exact under interpret, which does not
+    # simulate input_output_aliases)
+    src = src_ref[c]
+    from_out_h = (src & 2) != 0
+    from_out_w = (src & 1) != 0
+
     @pl.when(first | (cur_sl != prev_sl))
     def _():
         @pl.when(jnp.logical_not(first))
@@ -627,10 +673,20 @@ def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref,  # prefetch (SMEM)
                 h_vmem, h_out.at[:, pl.ds(prev_sl * SLAB, SLAB)], sem_h)
             cp.start()
             cp.wait()
-        cp = pltpu.make_async_copy(
-            h_hbm.at[:, pl.ds(cur_sl * SLAB, SLAB)], h_vmem, sem_h)
-        cp.start()
-        cp.wait()
+
+        @pl.when(jnp.logical_not(from_out_h))
+        def _():
+            cp = pltpu.make_async_copy(
+                h_hbm.at[:, pl.ds(cur_sl * SLAB, SLAB)], h_vmem, sem_h)
+            cp.start()
+            cp.wait()
+
+        @pl.when(from_out_h)
+        def _():
+            cp = pltpu.make_async_copy(
+                h_out.at[:, pl.ds(cur_sl * SLAB, SLAB)], h_vmem, sem_h)
+            cp.start()
+            cp.wait()
 
     @pl.when(first | (cur_ub != prev_ub))
     def _():
@@ -640,10 +696,20 @@ def _mxu_sgd_tiled_kernel(ub_ref, ib_ref, sl_ref, row_ref,  # prefetch (SMEM)
                 w_vmem, w_out.at[:, pl.ds(prev_ub * UB, UB)], sem_w)
             cp.start()
             cp.wait()
-        cp = pltpu.make_async_copy(
-            w_hbm.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
-        cp.start()
-        cp.wait()
+
+        @pl.when(jnp.logical_not(from_out_w))
+        def _():
+            cp = pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
+            cp.start()
+            cp.wait()
+
+        @pl.when(from_out_w)
+        def _():
+            cp = pltpu.make_async_copy(
+                w_out.at[:, pl.ds(cur_ub * UB, UB)], w_vmem, sem_w)
+            cp.start()
+            cp.wait()
 
     ib = ib_ref[c]
     d = data_ref[0]                      # [4, C] int32 (one DMA per chunk)
@@ -718,7 +784,7 @@ def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
     plan.meta(fe); data = plan.packed; order = plan.epoch_order(seed)
     ([num_passes, pass_len] arrays)."""
     P, C, UB, IB, n_ub, slab_rows, fe = meta
-    ub, ibr, sl, row = order
+    ub, ibr, sl, row, src = order
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
     kernel = functools.partial(
@@ -726,17 +792,17 @@ def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
         IB=IB, SLAB=slab_rows, mxu_dtype=dt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # W (HBM)
             pl.BlockSpec(memory_space=pl.ANY),       # H (HBM)
             pl.BlockSpec((1, 4, C),
-                         lambda c, ub, ib, sl, row: (row[c], 0, 0),
+                         lambda c, ub, ib, sl, row, sr: (row[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fe, 4), lambda c, ub, ib, sl, row: (0, 0),
+            pl.BlockSpec((fe, 4), lambda c, ub, ib, sl, row, sr: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda c, ub, ib, sl, row: (0, 0),
+            pl.BlockSpec((1, 8), lambda c, ub, ib, sl, row, sr: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -758,22 +824,23 @@ def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
             jax.ShapeDtypeStruct((fe, n_ub * UB), jnp.float32),
             jax.ShapeDtypeStruct((fe, num_slabs * slab_rows), jnp.float32),
         ],
-        # inputs: 0..3 scalar prefetch, 4 = W, 5 = H
-        input_output_aliases={4: 0, 5: 1},
+        # inputs: 0..4 scalar prefetch, 5 = W, 6 = H
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
     )
 
     def body(carry, xs):
         W, H = carry
-        ub_s, ib_s, sl_s, row_s = xs
-        W, H = call(ub_s, ib_s, sl_s, row_s, W, H, data, rates, hp_vec)
+        ub_s, ib_s, sl_s, row_s, src_s = xs
+        W, H = call(ub_s, ib_s, sl_s, row_s, src_s, W, H, data, rates,
+                    hp_vec)
         return (W, H), None
 
     # transposed table views (see kernel docstring); the transposes are
     # two fused relayout passes at HBM bandwidth, amortized per epoch
     Wt = W_ext.T
     Ht = H_ext.T
-    (Wt, Ht), _ = jax.lax.scan(body, (Wt, Ht), (ub, ibr, sl, row))
+    (Wt, Ht), _ = jax.lax.scan(body, (Wt, Ht), (ub, ibr, sl, row, src))
     return Wt.T, Ht.T
 
 

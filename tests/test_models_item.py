@@ -195,6 +195,33 @@ class TestMXUBPREpoch:
         res = evaluate_items(m, test, train)
         assert res["AUC"] > 0.55
 
+    def test_model_selects_tiled_past_vmem_budget(self, monkeypatch):
+        """Big catalogs beyond the VMEM item-table budget auto-select
+        the flat slab-tiled BPR epoch (bpr_epoch_mxu_tiled) instead of
+        falling back to the ~3x XLA path."""
+        from mymedialite_tpu.ops import pallas_sgd as ps
+        monkeypatch.setenv("MML_MXU", "interpret")
+        # 3000-item catalog too big for the (shrunk) resident budget,
+        # single-block slabs fit the (shrunk) slab budget
+        monkeypatch.setattr(ps, "VMEM_ITEM_TABLE_BYTES", 512 * 1024)
+        monkeypatch.setattr(ps, "TILED_SLAB_BYTES", 256 * 1024)
+        data = synthetic_posonly(num_users=80, num_items=3000,
+                                 num_events=30000, seed=41)
+        train, test = split_posonly(data, seed=42)
+        m = create_item_recommender("BPRMF")
+        m.feedback = train
+        m.num_factors = 8
+        m.num_iter = 10
+        m.train()
+        assert m._bpr_plan is not None
+        assert m._bpr_tiled is not None        # the tiled path engaged
+        assert m._bpr_tiled["num_slabs"] >= 2
+        res = evaluate_items(m, test, train)
+        rnd = create_item_recommender("Random")
+        rnd.feedback = train
+        rnd.train()
+        assert res["AUC"] > evaluate_items(rnd, test, train)["AUC"] + 0.1
+
     def test_add_feedback_invalidates_plan(self, monkeypatch):
         """AddFeedback then Iterate must train on the CURRENT feedback
         (reference BPRMF.cs:129-160): the MXU plan is rebuilt from the

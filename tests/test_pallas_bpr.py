@@ -393,3 +393,136 @@ class TestUniformUserWeights:
         base_w = packed[:, 2].view(np.float32)
         pad_w = packed[:, 3].view(np.float32)
         np.testing.assert_array_equal(base_w[pad_w > 0], 1.0)
+
+
+class TestTiledBPREpoch:
+    """Flat slab-tiled BPR epoch (bpr_epoch_mxu_tiled) — the big-catalog
+    production path. Multi-slab interpret-mode epoch must match the
+    chunk-sequential numpy oracle on the tiled visit order, with the
+    fused sampler bit-exact vs the XLA mirror."""
+
+    @pytest.mark.parametrize("soft_margin,wbpr,pass_len",
+                             [(False, False, 16), (True, False, 16),
+                              (False, True, 16), (False, False, 4096)])
+    def test_tiled_matches_numpy_oracle(self, feedback, soft_margin, wbpr,
+                                        pass_len):
+        plan, neg_state, neg_meta = _prepared(feedback)
+        n_ib, Kcap, trials, I, IB = neg_meta
+        f, fe = 6, 8
+        slab_blocks = 1
+        packed_ext, S, n_pass, P, slab_items = pb.bpr_tiled_plan(
+            plan, neg_state["nvalid"], slab_blocks=slab_blocks,
+            pass_len=pass_len)
+        assert S == plan.n_iblocks > 1
+        if pass_len == 16:
+            assert n_pass > 1
+        else:
+            # single pass: within-pass refetch via the source flags
+            assert n_pass == 1
+        order = pb.bpr_tiled_epoch_order(
+            plan, neg_state["nvalid"], slab_items,
+            slab_blocks=slab_blocks, num_slabs=S, num_passes=n_pass,
+            pass_len=P, num_items=I, seed=21,
+            block_mass=neg_state["block_mass"] if wbpr else None)
+        (ub, ibr, isl, jb, jbr, jsl, nval, bkt, row,
+         _src) = [np.asarray(a).reshape(-1) for a in order]
+        if pass_len != 16:
+            assert (_src != 0).any(), "no within-pass refetch exercised"
+        nc_tot = ub.size
+        slab_rows = slab_blocks * IB
+
+        rng = np.random.default_rng(0)
+        W = 0.1 * rng.standard_normal((feedback.num_users, f)) \
+            .astype(np.float32)
+        H = 0.1 * rng.standard_normal((feedback.num_items, f)) \
+            .astype(np.float32)
+        bias = 0.01 * rng.standard_normal(feedback.num_items) \
+            .astype(np.float32)
+        new_of_old = jnp.asarray(plan.new_of_old)
+        We, He = pb.bpr_tables_to_mxu(
+            jnp.asarray(W), jnp.asarray(H), jnp.asarray(bias), new_of_old,
+            u_pad=plan.u_pad, i_pad=S * slab_rows, fe=fe)
+        rates = pb.bpr_mxu_column_rates(
+            f, fe, 0.05, 0.0025, 0.0025, 0.00025, 0.01, True)
+
+        bits = pb.epoch_random_bits(jax.random.PRNGKey(9), nc=nc_tot,
+                                    trials=trials, C=plan.chunk)
+        packed_np = np.asarray(packed_ext)
+        u_loc = jnp.asarray(packed_np[row][:, 0, :])
+        j_loc, ok = pb.sample_negatives_from_bits(
+            neg_state["keys_tbl"], bits, jnp.asarray(jb),
+            jnp.asarray(nval), jnp.asarray(bkt), u_loc, meta=neg_meta,
+            wbpr=wbpr, cdf_tbl=neg_state["cdf_tbl"])
+        j_loc, ok = np.asarray(j_loc), np.asarray(ok)
+
+        # numpy oracle over the flat tiled visit order
+        Wref = np.asarray(We).copy()
+        Href = np.asarray(He).copy()
+        w_lr, w_reg, i_lr, i_reg, j_lr, j_reg = np.asarray(rates).T
+        for c in range(nc_tot):
+            d = packed_np[row[c]]
+            u = d[0]
+            i = d[1]
+            wgt = d[2].view(np.float32) * d[3].view(np.float32) \
+                * ok[c].astype(np.float32)
+            ug = ub[c] * plan.user_block + u
+            igl = (isl[c] * slab_blocks + ibr[c]) * IB + i
+            jgl = jb[c] * IB + j_loc[c]
+            wu, hi, hj = Wref[ug], Href[igl], Href[jgl]
+            x = np.sum(wu * (hi - hj), axis=1)
+            if soft_margin:
+                g = np.where(x < 1.0, 1.0, 0.0) * wgt
+            else:
+                g = wgt / (1.0 + np.exp(x))
+            wc = wgt[:, None]
+            np.add.at(Wref, ug, w_lr[None] * (g[:, None] * (hi - hj)
+                                              - wc * w_reg[None] * wu))
+            np.add.at(Href, igl, i_lr[None] * (g[:, None] * wu
+                                               - wc * i_reg[None] * hi))
+            np.add.at(Href, jgl, j_lr[None] * (-g[:, None] * wu
+                                               - wc * j_reg[None] * hj))
+
+        bits_p = bits.reshape(n_pass, P, trials, plan.chunk)
+        Wk, Hk, neg_dbg = pb.bpr_epoch_mxu_tiled(
+            We, He, packed_ext, neg_state["keys_tbl"],
+            neg_state["cdf_tbl"], bits_p, order, rates,
+            meta=(P, plan.chunk, plan.user_block, IB, plan.n_ublocks,
+                  slab_rows, fe, Kcap, trials),
+            num_slabs=S, soft_margin=soft_margin, wbpr=wbpr,
+            mxu_dtype="f32", interpret=True)
+        neg_dbg = np.asarray(neg_dbg)
+        np.testing.assert_array_equal(neg_dbg[:, 0], j_loc)
+        np.testing.assert_array_equal(
+            neg_dbg[:, 1].view(np.float32), ok.astype(np.float32))
+        assert np.abs(np.asarray(Wk) - Wref).max() < 1e-5
+        assert np.abs(np.asarray(Hk) - Href).max() < 1e-5
+
+    def test_group_slab_draw_marginal_exact(self, feedback):
+        """P(negative block) must equal nvalid_b / num_items under the
+        two-stage (slab-per-group, block-within-slab) draw."""
+        plan, neg_state, neg_meta = _prepared(feedback)
+        n_ib, Kcap, trials, I, IB = neg_meta
+        packed_ext, S, n_pass, P, slab_items = pb.bpr_tiled_plan(
+            plan, neg_state["nvalid"], slab_blocks=1, pass_len=64)
+        counts = np.zeros(n_ib, np.int64)
+        n_draws = 400
+        for seed in range(n_draws):
+            order = pb.bpr_tiled_epoch_order(
+                plan, neg_state["nvalid"], slab_items, slab_blocks=1,
+                num_slabs=S, num_passes=n_pass, pass_len=P,
+                num_items=I, seed=seed)
+            row = np.asarray(order[8]).reshape(-1)
+            jb = np.asarray(order[3]).reshape(-1)[row < plan.num_chunks]
+            counts += np.bincount(jb, minlength=n_ib)
+        expect = (neg_state["nvalid"] / I) * counts.sum()
+        chi2 = float(((counts - expect) ** 2 / np.maximum(expect, 1))
+                     .sum())
+        # dof = n_ib - 1; generous bound (chi2 p>0.001)
+        assert chi2 < stats.chi2.ppf(0.999, n_ib - 1), (counts, expect)
+
+    def test_kcap_truncation(self, feedback):
+        plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
+            feedback, uniform_user=False, user_block=8, item_block=8,
+            chunk=8, shuffle_seed=3, num_neg_trials=8, kcap=128)
+        assert neg_meta[1] == 128
+        assert neg_state["keys_tbl"].shape[1] == 128

@@ -43,7 +43,8 @@ def oracle_tiled(We, He, plan, order, rates):
     tiled visit order)."""
     We = np.asarray(We).copy()
     He = np.asarray(He).copy()
-    ub, ibr, sl, row = [np.asarray(x).reshape(-1) for x in order]
+    ub, ibr, sl, row, _src = [np.asarray(x).reshape(-1)
+                              for x in order]
     packed = np.asarray(plan.packed)
     UB, IB = plan.user_block, plan.item_block
     w_lr, w_reg, h_lr, h_reg = np.asarray(rates).T
@@ -97,14 +98,22 @@ class TestTiledKernel:
         np.testing.assert_allclose(np.asarray(Ht)[:He2.shape[0]],
                                    np.asarray(Hr), rtol=0, atol=1e-6)
 
-    def test_multi_slab_matches_numpy_oracle(self):
+    @pytest.mark.parametrize("pass_len", [16, 4096])
+    def test_multi_slab_matches_numpy_oracle(self, pass_len):
+        """pass_len=16: pass-boundary writeback/refetch (XLA-carried);
+        pass_len=4096 (single pass): WITHIN-pass refetch of W blocks
+        written back earlier — exercises the refetch-source flags."""
         users, items, values, W0, H0, bu, bi = _toy(seed=3)
         tplan = ps.prepare_mxu_tiled(
             users, items, values, 50, 60, user_block=16, item_block=16,
-            chunk=8, slab_blocks=1, shuffle_seed=2, pass_len=16)
+            chunk=8, slab_blocks=1, shuffle_seed=2, pass_len=pass_len)
         assert tplan.num_slabs == tplan.n_iblocks > 1
-        # multiple passes: covers the pass-boundary writeback/refetch
-        assert tplan.num_passes > 2
+        if pass_len == 16:
+            assert tplan.num_passes > 2
+        else:
+            assert tplan.num_passes == 1
+            src = np.asarray(tplan.epoch_order(9)[4])
+            assert (src != 0).any(), "no within-pass refetch exercised"
         base = ps.prepare_mxu_data(users, items, values, 50, 60,
                                    user_block=16, item_block=16, chunk=8,
                                    shuffle_seed=2)
@@ -132,7 +141,7 @@ class TestTiledKernel:
         tplan = ps.prepare_mxu_tiled(
             users, items, values, 50, 60, user_block=16, item_block=16,
             chunk=8, slab_blocks=2, shuffle_seed=0)
-        _, _, _, row = tplan.epoch_order(5)
+        _, _, _, row, _ = tplan.epoch_order(5)
         row = np.asarray(row).reshape(-1)
         real = row[row < tplan.packed.shape[0] - 1]
         nc = tplan.packed.shape[0] - 1
