@@ -46,9 +46,16 @@ Sampling semantics vs the reference's regimes (BPRMF.cs:183-321):
   that weight); variance is lower (stratified). Weights are folded into
   the update weight, scaling both gradient and regularization like a
   w-weighted XLA-path triple.
-- WBPR popularity-sampled negatives: not supported here (the XLA epoch
-  handles it); a per-chunk negative block can't reproduce the global
-  popularity CDF cheaply.
+- WBPR popularity-sampled negatives (``wbpr=True``): the negative
+  block is drawn by popularity MASS and the local index by inverse-CDF
+  inside the kernel, so the pre-rejection marginal is P(j) = count_j /
+  total exactly (WeightedBPRMF.cs:55-66; chi-square tested).
+
+Catalogs beyond the VMEM item-table budget run the flat slab-tiled
+variant (``bpr_epoch_mxu_tiled``): positive slab + negative slab +
+user block swap by in-kernel blocking DMA; the negative slab is drawn
+per (islab, ublock) group such that the global negative block marginal
+is unchanged (see the tiled section below).
 
 Within-chunk negatives share one item block (correlated draws); each
 slot's marginal stays uniform over the catalog, and rejection within the
