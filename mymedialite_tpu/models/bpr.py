@@ -275,6 +275,12 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         from mymedialite_tpu.ops import pallas_bpr as pb
         from mymedialite_tpu.ops import pallas_sgd as ps
         tiled = mode.startswith("tiled")
+        # packed-bitmask membership (resident path): ~4x cheaper fused
+        # sampling than the [Kcap, C] compares when the per-bucket
+        # incidence tables fit the HBM budget
+        fb = self.feedback
+        n_bkt = (-(-fb.num_users // 512)) * (-(-fb.num_items // 1024))
+        bitmask = not tiled and n_bkt * 512 * 128 <= 2 * 1024 ** 3
         plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
             self.feedback,
             # WBPR samples (u, i) uniform over events (WeightedBPRMF.cs:
@@ -290,6 +296,7 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             # n_buckets * Kcap * 4B of HBM)
             chunk=None if tiled else 640,
             kcap=512 if tiled else None,
+            bitmask=bitmask,
             # the BPR kernel's fixed per-chunk cost (6 one-hot matmuls
             # + 8 sequential rejection trials + conditioned DMAs)
             # measures ~10-15us vs ~1.5us/128 marginal slots — weight
@@ -379,7 +386,8 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 order, jb, nval, bkt, rates,
                 meta=plan.meta(fe) + (Kcap, trials),
                 soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
-                interpret=self._bpr_interpret)
+                interpret=self._bpr_interpret,
+                bm_tbl=self._bpr_neg_state.get("bitmask_tbl"))
         W, H, bias = pb.bpr_tables_from_mxu(
             We, He, self._bpr_new_of_old,
             num_users=p["user_factors"].shape[0], num_factors=f)

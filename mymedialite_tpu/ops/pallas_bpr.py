@@ -102,7 +102,7 @@ __all__ = [
 def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
                     item_block: int = 1024, chunk=640,
                     shuffle_seed=0, num_neg_trials: int = 8, kcap=None,
-                    chunk_overhead: int = 0):
+                    chunk_overhead: int = 0, bitmask: bool = False):
     """Bucket the positive-event stream (like prepare_mxu_data for
     ratings) and build the kernel's negative-sampling state.
 
@@ -203,6 +203,21 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
 
     neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid,
                      cdf_tbl=jnp.asarray(cdf), block_mass=block_mass)
+    if bitmask:
+        # packed per-bucket incidence [n_bkt, UB, IB/8] uint8: membership
+        # becomes an MXU byte-gather (one bf16 one-hot matmul per chunk)
+        # + per-lane bit extract, replacing the 8 sequential [Kcap, C]
+        # all-pairs compares that dominate the kernel's per-chunk cost
+        # (~8us measured at the bench shape). Bytes (0..255) are exact
+        # in bf16; the predicate is EXACTLY the (uncapped) keys test.
+        UBp = plan.user_block
+        nb8 = IB // 8
+        bm = np.zeros((n_bkt, UBp, nb8), np.uint8)
+        uu = u_loc.reshape(-1)[real.reshape(-1)]
+        ii = i_loc.reshape(-1)[real.reshape(-1)]
+        np.bitwise_or.at(bm, (bkt_r, uu, ii >> 3),
+                         (1 << (ii & 7)).astype(np.uint8))
+        neg_state["bitmask_tbl"] = jnp.asarray(bm.view(np.int8))
     neg_meta = (n_ib, Kcap, num_neg_trials, I, IB)
     return plan, neg_state, neg_meta
 
@@ -331,12 +346,13 @@ def bpr_tables_from_mxu(W_mxu, H_mxu, new_of_old, *, num_users: int,
 
 def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
                     row_ref,
-                    w_in_ref, h_in_ref, data_ref, jkeys_ref, cdf_ref,
-                    rand_ref, rates_ref,
+                    w_in_ref, h_in_ref, data_ref, jkeys_ref, bm_ref,
+                    cdf_ref, rand_ref, rates_ref,
                     w_out_ref, h_out_ref, neg_out_ref,
                     h_vmem, sem_in, sem_out, *,
                     soft_margin: bool, C: int, UB: int, IB: int,
-                    trials: int, wbpr: bool, mxu_dtype):
+                    trials: int, wbpr: bool, use_bitmask: bool,
+                    mxu_dtype):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
 
@@ -361,12 +377,32 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
     base_w = pltpu.bitcast(d[2:3], jnp.float32)   # per-event weight
     pad_w = pltpu.bitcast(d[3:4], jnp.float32)    # 0 on padding slots
 
+    # [.., C] orientation throughout: no lane<->sublane relayouts
+    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
+           == u).astype(mxu_dtype)
+
     # --- fused negative sampling (see module docstring) ---
-    # membership keys of bucket (ub, jb): these users' positives in the
-    # negative block, as u_loc * IB + i_loc; -1 padding never matches.
-    # The block fetches 8 bucket rows (block-shape alignment); select ours
-    krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]  # [1, Kcap]
-    kt = jnp.transpose(krow, (1, 0))               # [Kcap, 1]
+    if use_bitmask:
+        # packed-incidence membership: ONE bf16 one-hot matmul gathers
+        # each slot's user byte-row of the bucket's [UB, IB/8] bitmask
+        # (bytes are exact in bf16), then per-trial a sublane one-hot
+        # byte select + per-lane bit extract — replaces the 8 sequential
+        # [Kcap, C] all-pairs compares that dominate per-chunk cost
+        nb8 = IB // 8
+        Mb = bm_ref[0]                            # [UB, nb8] int8
+        Mu = jax.lax.dot_general(
+            Mb.astype(mxu_dtype), put, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [nb8, C]
+        # signed int8 bytes transport exactly; & 255 restores unsigned
+        Mu_i = Mu.astype(jnp.int32)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (nb8, C), 0)
+    else:
+        # membership keys of bucket (ub, jb): these users' positives in
+        # the negative block, as u_loc * IB + i_loc; -1 padding never
+        # matches. The block fetches 8 bucket rows (block-shape
+        # alignment); select ours
+        krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]  # [1, Kcap]
+        kt = jnp.transpose(krow, (1, 0))               # [Kcap, 1]
     if wbpr:
         # popularity negatives (WeightedBPRMF.cs:55-66): inverse-CDF
         # within the drawn block, P(local slot) = count / block mass
@@ -385,7 +421,13 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
                            keepdims=True)
         else:
             cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
-        is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
+        if use_bitmask:
+            sel = jnp.sum(jnp.where(w_iota == (cand >> 3), Mu_i, 0),
+                          axis=0, keepdims=True) & 255
+            is_pos = (jax.lax.shift_right_logical(
+                sel, cand & 7) & 1) != 0
+        else:
+            is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
         take = jnp.logical_and(~ok, ~is_pos)
         j = jnp.where(take, cand, j)
         ok = jnp.logical_or(ok, ~is_pos)
@@ -399,9 +441,6 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
     Hi = h_vmem[pl.ds(ib * IB, IB), :]     # [IB, fe]
     Hj = h_vmem[pl.ds(jb * IB, IB), :]
 
-    # [.., C] orientation throughout: no lane<->sublane relayouts
-    put = (jax.lax.broadcasted_iota(jnp.int32, (UB, C), 0)
-           == u).astype(mxu_dtype)
     pit = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
            == i).astype(mxu_dtype)
     pjt = (jax.lax.broadcasted_iota(jnp.int32, (IB, C), 0)
@@ -464,7 +503,7 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
 def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
                   jb, nval, bkt, rates, *, meta, soft_margin: bool = False,
                   wbpr: bool = False, mxu_dtype: str = "bf16",
-                  interpret: bool = False):
+                  interpret: bool = False, bm_tbl=None):
     """One BPR epoch: |events| triple updates in chunks of C, negatives
     sampled inside the kernel.
 
@@ -480,10 +519,17 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
     nc, C, UB, IB, n_ub, i_pad, fe, Kcap, trials = meta
     ub, ib, row = order
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    use_bitmask = bm_tbl is not None
+    if not use_bitmask:
+        # dummy one-bucket bitmask, constant index map -> fetched once
+        bm_tbl = jnp.zeros((1, UB, IB // 8), jnp.int8)
 
     kernel = functools.partial(
         _mxu_bpr_kernel, soft_margin=soft_margin, C=C, UB=UB, IB=IB,
-        trials=trials, wbpr=wbpr, mxu_dtype=dt)
+        trials=trials, wbpr=wbpr, use_bitmask=use_bitmask, mxu_dtype=dt)
+
+    def bm_index(c, ub, ib, jb, nval, bkt, row):
+        return (bkt[c] if use_bitmask else 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -500,6 +546,8 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
             pl.BlockSpec((8, Kcap),
                          lambda c, ub, ib, jb, nval, bkt, row:
                          (bkt[c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, UB, IB // 8), bm_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, IB),
                          lambda c, ub, ib, jb, nval, bkt, row:
@@ -539,8 +587,8 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
         # inputs: 0..5 scalar prefetch, 6 = W, 7 = H
         input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, cdf_tbl,
-      rand_bits, rates)
+    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, bm_tbl,
+      cdf_tbl, rand_bits, rates)
     return W_out, H_out, neg_dbg
 
 

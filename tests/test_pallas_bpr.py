@@ -46,7 +46,7 @@ def feedback():
 def _prepared(feedback, uniform_user=True):
     return pb.prepare_bpr_mxu(
         feedback, uniform_user=uniform_user, user_block=8, item_block=8,
-        chunk=8, shuffle_seed=3, num_neg_trials=8)
+        chunk=8, shuffle_seed=3, num_neg_trials=8, bitmask=True)
 
 
 def _epoch_negatives(plan, neg_state, neg_meta, order, bits_key, jb_seed,
@@ -110,10 +110,12 @@ def oracle_epoch(We, He, plan, order, jb, j_loc, ok_neg, rates,
 
 
 class TestEpochNumerics:
-    @pytest.mark.parametrize("soft_margin,wbpr",
-                             [(False, False), (True, False), (False, True)])
+    @pytest.mark.parametrize(
+        "soft_margin,wbpr,bitmask",
+        [(False, False, False), (True, False, False), (False, True, False),
+         (False, False, True), (False, True, True)])
     def test_kernel_matches_numpy_oracle(self, feedback, soft_margin,
-                                         wbpr):
+                                         wbpr, bitmask):
         plan, neg_state, neg_meta = _prepared(feedback)
         n_ib, Kcap, trials, I, IB = neg_meta
         f = 6
@@ -143,7 +145,10 @@ class TestEpochNumerics:
             neg_state["cdf_tbl"], bits, order, jb,
             nval, bkt, rates, meta=plan.meta(fe) + (Kcap, trials),
             soft_margin=soft_margin, wbpr=wbpr, mxu_dtype="f32",
-            interpret=True)
+            interpret=True,
+            # packed-bitmask membership is the SAME predicate as the
+            # (uncapped) keys test -> identical negatives, identical epoch
+            bm_tbl=neg_state["bitmask_tbl"] if bitmask else None)
         # the kernel's fused sampler is bit-exact vs the XLA mirror
         neg_dbg = np.asarray(neg_dbg)
         np.testing.assert_array_equal(neg_dbg[:, 0], j_loc)
