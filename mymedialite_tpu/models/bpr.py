@@ -42,6 +42,7 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         "init_mean": float,
         "init_stdev": float,
         "batch_size": int,
+        "mxu_dtype": str,
     }
 
     def __init__(self):
@@ -51,6 +52,9 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         self.init_mean = 0.0
         self.init_stdev = 0.1
         self.batch_size = 8192
+        # MXU operand dtype for the Pallas epochs ('bf16' production
+        # default / 'f32'); measured quality trade recorded in BASELINE
+        self.mxu_dtype = "bf16"
         self.random_seed = 42
         self.params = None
         self._key = None
@@ -241,67 +245,76 @@ class BPRMF(ItemMF, FoldInItemRecommender):
     MXU_POPULARITY = False
 
     def _mxu_mode(self) -> str:
-        """Epoch-kernel selection, mirroring models/mf.py _mxu_mode:
-        'tpu' = the Pallas MXU one-hot-matmul BPR epoch with fused
-        negative sampling (scatter-free; the XLA epoch is scatter-bound
-        at ~1.3M triples/s at the Netflix bench shape, the MXU epoch
-        measures 58M), 'interpret' = forced interpret mode (tests),
-        '' = the XLA minibatch epoch. Needs the item table in VMEM."""
-        import os
-        env = os.environ.get("MML_MXU", "auto")
-        if env == "0":
-            return ""
+        """Epoch-kernel selection (ops/kernel_select.py, shared with the
+        rating-MF family): 'tpu' = the Pallas MXU one-hot-matmul BPR
+        epoch with fused negative sampling (scatter-free; the XLA epoch
+        is scatter-bound at ~1.3M triples/s at the Netflix bench shape,
+        the MXU epoch measures 82M), 'tiled' = the slab-tiled variant
+        for big catalogs, 'sharded' = the mesh-sharded DSGD epoch (the
+        production path on any mesh — the reference parallelizes BPR by
+        default too, MultiCoreBPRMF.cs:30), '(...)-interpret' = forced
+        interpret mode (tests), '' = the XLA minibatch epoch."""
         if self.feedback is None:
             return ""
-        from mymedialite_tpu.ops import pallas_bpr as pb
-        from mymedialite_tpu.ops import pallas_sgd as ps
-        fits = pb.mxu_supported(self.feedback.num_items, self.num_factors)
-        tiled = not fits and ps.mxu_tiled_supported(
-            self.feedback.num_items, self.num_factors)
-        if not fits and not tiled:
-            return ""
-        if env == "interpret":
-            return "tiled-interpret" if tiled else "interpret"
-        if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-            return "tiled" if tiled else "tpu"
-        return ""
+        from mymedialite_tpu.ops.kernel_select import select_mxu_mode
+        return select_mxu_mode(self.feedback.num_items, self.num_factors)
 
     def _prepare_mxu(self):
         self._bpr_dirty = False
         self._bpr_plan = None
+        self._bpr_mesh = None
         mode = self._mxu_mode()
         if not mode:
             return
         from mymedialite_tpu.ops import pallas_bpr as pb
         from mymedialite_tpu.ops import pallas_sgd as ps
         tiled = mode.startswith("tiled")
-        # packed-bitmask membership (resident path): ~4x cheaper fused
-        # sampling than the [Kcap, C] compares when the per-bucket
-        # incidence tables fit the HBM budget
-        fb = self.feedback
-        n_bkt = (-(-fb.num_users // 512)) * (-(-fb.num_items // 1024))
-        bitmask = not tiled and n_bkt * 512 * 128 <= 2 * 1024 ** 3
-        plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
-            self.feedback,
-            # WBPR samples (u, i) uniform over events (WeightedBPRMF.cs:
-            # 58-60) = the one-pass layout with unit weights
-            uniform_user=(self.uniform_user_sampling
-                          and not self.MXU_POPULARITY),
-            shuffle_seed=self.random_seed,
-            num_neg_trials=self.num_neg_trials,
-            # big catalogs: histogram-optimal chunk + capped membership
-            # keys (see prepare_bpr_mxu docstring for the truncation
-            # bound argument; the [Kcap, C] rejection compare is the
-            # kernel's per-chunk cost ceiling, and the keys table is
-            # n_buckets * Kcap * 4B of HBM)
-            chunk=None if tiled else 640,
-            kcap=512 if tiled else None,
-            bitmask=bitmask,
-            # the BPR kernel's fixed per-chunk cost (6 one-hot matmuls
-            # + 8 sequential rejection trials + conditioned DMAs)
-            # measures ~10-15us vs ~1.5us/128 marginal slots — weight
-            # the chunk choice accordingly (measured 2026-08-20)
-            chunk_overhead=1024 if tiled else 0)
+        sharded = mode.startswith("sharded")
+        uniform_user = (self.uniform_user_sampling
+                        and not self.MXU_POPULARITY)
+        if sharded:
+            from mymedialite_tpu.parallel.mesh import make_mesh
+            self._bpr_mesh = make_mesh()
+            # packed-bitmask eligibility decided inside prepare (actual
+            # plan geometry); the incidence tables replicate per device
+            plan, neg_state, neg_meta = pb.prepare_bpr_mxu_sharded(
+                self.feedback, self._bpr_mesh.devices.size,
+                uniform_user=uniform_user, shuffle_seed=self.random_seed,
+                num_neg_trials=self.num_neg_trials, bitmask="auto")
+        else:
+            plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
+                self.feedback,
+                # WBPR samples (u, i) uniform over events
+                # (WeightedBPRMF.cs:58-60) = the one-pass layout with
+                # unit weights
+                uniform_user=uniform_user,
+                shuffle_seed=self.random_seed,
+                num_neg_trials=self.num_neg_trials,
+                # big catalogs: histogram-optimal chunk + capped
+                # membership keys (see prepare_bpr_mxu docstring for the
+                # truncation bound argument; the [Kcap, C] rejection
+                # compare is the kernel's per-chunk cost ceiling, and
+                # the keys table is n_buckets * Kcap * 4B of HBM)
+                chunk=None if tiled else 640,
+                # tiled: sub-bucketed membership keys (u_loc & 7 split,
+                # one exact f32 one-hot gather + [Ksub, C] compares) —
+                # ~8x less compare volume than the r3 [Kcap=512, C]
+                # path AND 4x the key capacity (8 * 256 per bucket), so
+                # the documented ~1e-4 truncation bias disappears for
+                # realistic shapes (prepare warns if it does not); the
+                # flat keys_tbl stays small, it is unused by the kernel
+                kcap=128 if tiled else None,
+                subkeys=tiled,
+                ksub_cap=256 if tiled else None,
+                # the packed-bitmask membership (~4x cheaper fused
+                # sampling) is sized inside prepare from the actual
+                # plan geometry; the tiled kernel uses sub-bucket keys
+                bitmask=False if tiled else "auto",
+                # the BPR kernel's fixed per-chunk cost (6 one-hot
+                # matmuls + 8 sequential rejection trials + conditioned
+                # DMAs) measures ~10-15us vs ~1.5us/128 marginal slots
+                # — weight the chunk choice accordingly (2026-08-20)
+                chunk_overhead=1024 if tiled else 0)
         self._bpr_plan = plan
         self._bpr_neg_state = neg_state
         self._bpr_neg_meta = neg_meta
@@ -342,7 +355,42 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         n_ib, Kcap, trials, num_items, _IB = self._bpr_neg_meta
         seed = (self.random_seed + 1) * 1_000_003 + self._epoch_counter
         tl = getattr(self, "_bpr_tiled", None)
-        if tl is not None:
+        if isinstance(plan, pb.BprShardedPlan):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self._bpr_mesh
+            D = mesh.devices.size
+            sh2 = NamedSharding(mesh, P("data", None))
+            sh3 = NamedSharding(mesh, P("data", None, None))
+            sh5 = NamedSharding(mesh, P("data", None, None, None, None))
+            repl = NamedSharding(mesh, P())
+            order = plan.epoch_order(
+                self._bpr_neg_state["nvalid"], seed,
+                block_mass=(self._bpr_neg_state["block_mass"]
+                            if self.MXU_POPULARITY else None))
+            self._key, k_bits = jax.random.split(self._key)
+            bits = pb.epoch_random_bits(
+                k_bits, nc=D * D * plan.nc_pad, trials=trials,
+                C=plan.chunk).reshape(D, D, plan.nc_pad, trials,
+                                      plan.chunk)
+            bm = self._bpr_neg_state.get("bitmask_tbl")
+            use_bm = bm is not None
+            if not use_bm:
+                bm = jnp.zeros((1, plan.user_block, plan.item_block // 8),
+                               jnp.int8)
+            ub, ibk, jb, jbg, nval, bkt, row = (
+                jax.device_put(a, sh3) for a in order)
+            We, He, _neg = pb.bpr_epoch_mxu_sharded_jit(
+                mesh, jax.device_put(We, sh2), jax.device_put(He, sh2),
+                jax.device_put(plan.packed, repl),
+                jax.device_put(self._bpr_neg_state["keys_tbl"], repl),
+                jax.device_put(self._bpr_neg_state["cdf_tbl"], repl),
+                jax.device_put(bits, sh5),
+                ub, ibk, jb, jbg, nval, bkt, row, rates,
+                jax.device_put(bm, repl),
+                meta=plan.meta(fe) + (Kcap, trials), use_bitmask=use_bm,
+                soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
+                mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret)
+        elif tl is not None:
             self._key, k_bits = jax.random.split(self._key)
             order = pb.bpr_tiled_epoch_order(
                 plan, self._bpr_neg_state["nvalid"], tl["slab_items"],
@@ -362,13 +410,14 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 He = jnp.concatenate([He, jnp.zeros(
                     (i_pad2 - He.shape[0], He.shape[1]), He.dtype)])
             We, He, _neg = pb.bpr_epoch_mxu_tiled(
-                We, He, tl["packed"], self._bpr_neg_state["keys_tbl"],
+                We, He, tl["packed"], self._bpr_neg_state["subkeys_tbl"],
                 self._bpr_neg_state["cdf_tbl"], bits, order, rates,
                 meta=(tl["pass_len"], plan.chunk, plan.user_block,
                       plan.item_block, plan.n_ublocks, slab_rows, fe,
-                      Kcap, trials),
+                      self._bpr_neg_state["ksub"], trials),
                 num_slabs=tl["num_slabs"], soft_margin=self.SOFT_MARGIN,
-                wbpr=self.MXU_POPULARITY, interpret=self._bpr_interpret)
+                wbpr=self.MXU_POPULARITY, subkeys=True,
+                mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret)
         else:
             order = plan.epoch_order(seed)
             ub_visit = plan.ub_c[np.asarray(order[2])]
@@ -386,7 +435,7 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 order, jb, nval, bkt, rates,
                 meta=plan.meta(fe) + (Kcap, trials),
                 soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
-                interpret=self._bpr_interpret,
+                mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret,
                 bm_tbl=self._bpr_neg_state.get("bitmask_tbl"))
         W, H, bias = pb.bpr_tables_from_mxu(
             We, He, self._bpr_new_of_old,

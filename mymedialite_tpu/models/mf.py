@@ -84,6 +84,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         "init_stdev": float,
         "batch_size": int,
         "group_users": int,
+        "mxu_dtype": str,
     }
 
     BIASED = False
@@ -105,6 +106,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.init_stdev = 0.1
         self.batch_size = 131_072   # TPU-specific: SGD minibatch size
         self.group_users = 16_384   # TPU-specific: user-slab rows
+        # MXU operand dtype for the Pallas epochs ('bf16' production
+        # default / 'f32'); measured quality trade recorded in BASELINE
+        self.mxu_dtype = "bf16"
         self.random_seed = 42
 
         self.W_ext = None           # [U_pad, f+2] fused user table
@@ -176,42 +180,43 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self._prepare_epoch_data()
 
     def _mxu_mode(self) -> str:
-        """Epoch-kernel selection: 'tpu' = the Pallas MXU one-hot-matmul
-        epoch (ops/pallas_sgd.py — measured 225M updates/s vs 46M for the
-        XLA blocked epoch at the Netflix bench shape) with the item table
+        """Epoch-kernel selection (ops/kernel_select.py, shared with the
+        BPR family): 'tpu' = the Pallas MXU one-hot-matmul epoch
+        (ops/pallas_sgd.py — measured 225M updates/s vs 46M for the XLA
+        blocked epoch at the Netflix bench shape) with the item table
         resident in VMEM; 'tiled' = the slab-tiled variant for catalogs
         beyond the VMEM budget (KDD-Cup-scale, sgd_epoch_mxu_tiled);
-        '(tiled-)interpret' = forced interpret mode (tests), '' = XLA
-        blocked epoch. The MXU kernels need per-column (not per-entity)
-        regularization."""
-        import os
-
-        import jax
-
-        from mymedialite_tpu.ops import pallas_sgd as ps
-        env = os.environ.get("MML_MXU", "auto")
-        if env == "0":
-            return ""
+        'sharded' = the mesh-sharded DSGD MXU epoch (the production path
+        on any multi-device mesh, matching the reference's default
+        multicore engagement, BiasedMatrixFactorization.cs:206-215);
+        '(tiled-/sharded-)interpret' = forced interpret mode (tests),
+        '' = XLA blocked epoch. The MXU kernels need per-column (not
+        per-entity) regularization."""
         if self.frequency_regularization or self.ratings is None:
             return ""
-        fits = ps.mxu_supported(self.ratings.num_items, self.num_factors)
-        tiled = not fits and ps.mxu_tiled_supported(
-            self.ratings.num_items, self.num_factors)
-        if not fits and not tiled:
-            return ""
-        if env == "interpret":
-            return "tiled-interpret" if tiled else "interpret"
-        if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
-            return "tiled" if tiled else "tpu"
-        return ""
+        from mymedialite_tpu.ops.kernel_select import select_mxu_mode
+        return select_mxu_mode(self.ratings.num_items, self.num_factors)
 
     def _prepare_epoch_data(self):
         data = self.ratings
         self._mxu_plan = None
+        self._mxu_mesh = None
         mode = self._mxu_mode()
         if mode:
             from mymedialite_tpu.ops import pallas_sgd as ps
-            if mode.startswith("tiled"):
+            if mode.startswith("sharded"):
+                # mesh-sharded DSGD (Gemulla diagonal schedule over the
+                # device mesh — reference MultiCore.cs:43-73 with devices
+                # for threads); bit-identical to the sequential cell
+                # order, tested at ops level and through train() here
+                from mymedialite_tpu.parallel.mesh import make_mesh
+                self._mxu_mesh = make_mesh()
+                self._mxu_plan = ps.prepare_mxu_sharded(
+                    data.users, data.items, data.values, data.num_users,
+                    data.num_items, self._mxu_mesh.devices.size,
+                    user_block=512, item_block=1024, chunk=640,
+                    shuffle_seed=self.random_seed)
+            elif mode.startswith("tiled"):
                 # big-catalog shapes have sparse (512 x 1024) buckets;
                 # chunk=None lets the planner pick the histogram-optimal
                 # chunk so padding (and the packed-data footprint) stays
@@ -335,16 +340,35 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
         order = plan.epoch_order(
             (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
-        if isinstance(plan, ps.MxuTiledPlan):
+        if isinstance(plan, ps.MxuShardedPlan):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self._mxu_mesh
+            sh2 = NamedSharding(mesh, P("data", None))
+            sh3 = NamedSharding(mesh, P("data", None, None))
+            repl = NamedSharding(mesh, P())
+            ub, ib, row = order
+            We, He = ps.sgd_epoch_mxu_sharded_jit(
+                mesh, jax.device_put(We, sh2), jax.device_put(He, sh2),
+                jax.device_put(plan.packed, repl),
+                jax.device_put(ub, sh3), jax.device_put(ib, sh3),
+                jax.device_put(row, sh3),
+                jax.device_put(jnp.asarray(hp), repl),
+                jax.device_put(rates, repl),
+                meta=plan.meta(fe), loss=self.loss_id, biased=self.BIASED,
+                mxu_dtype=self.mxu_dtype,
+                interpret=getattr(self, "_mxu_interpret", False))
+        elif isinstance(plan, ps.MxuTiledPlan):
             We, He = ps.sgd_epoch_mxu_tiled(
                 We, He, plan.packed, order, jnp.asarray(hp), rates,
                 meta=plan.meta(fe), num_slabs=plan.num_slabs,
                 loss=self.loss_id, biased=self.BIASED,
+                mxu_dtype=self.mxu_dtype,
                 interpret=getattr(self, "_mxu_interpret", False))
         else:
             We, He = ps.sgd_epoch_mxu(
                 We, He, plan.packed, order, jnp.asarray(hp), rates,
                 meta=plan.meta(fe), loss=self.loss_id, biased=self.BIASED,
+                mxu_dtype=self.mxu_dtype,
                 interpret=getattr(self, "_mxu_interpret", False))
         self.W_ext, self.H_ext = ps.tables_mxu_to_std(
             We, He, self._mxu_new_of_old,
@@ -802,6 +826,7 @@ class BiasedMatrixFactorization(MatrixFactorization):
         "init_stdev": float,
         "batch_size": int,
         "group_users": int,
+        "mxu_dtype": str,
     }
 
     BIASED = True

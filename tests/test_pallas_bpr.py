@@ -43,10 +43,11 @@ def feedback():
     return PosOnlyData(users, items, num_users=30, num_items=24)
 
 
-def _prepared(feedback, uniform_user=True):
+def _prepared(feedback, uniform_user=True, subkeys=False):
     return pb.prepare_bpr_mxu(
         feedback, uniform_user=uniform_user, user_block=8, item_block=8,
-        chunk=8, shuffle_seed=3, num_neg_trials=8, bitmask=True)
+        chunk=8, shuffle_seed=3, num_neg_trials=8, bitmask=True,
+        subkeys=subkeys)
 
 
 def _epoch_negatives(plan, neg_state, neg_meta, order, bits_key, jb_seed,
@@ -406,13 +407,23 @@ class TestTiledBPREpoch:
     chunk-sequential numpy oracle on the tiled visit order, with the
     fused sampler bit-exact vs the XLA mirror."""
 
-    @pytest.mark.parametrize("soft_margin,wbpr,pass_len",
-                             [(False, False, 16), (True, False, 16),
-                              (False, True, 16), (False, False, 4096)])
+    @pytest.mark.parametrize(
+        "soft_margin,wbpr,pass_len,subkeys",
+        [(False, False, 16, False), (True, False, 16, False),
+         (False, True, 16, False), (False, False, 4096, False),
+         # sub-bucketed membership keys (the production tiled sampler):
+         # same oracle, keys gathered per-slot by u_loc & 7
+         (False, False, 16, True), (True, False, 16, True),
+         (False, True, 16, True), (False, False, 4096, True)])
     def test_tiled_matches_numpy_oracle(self, feedback, soft_margin, wbpr,
-                                        pass_len):
-        plan, neg_state, neg_meta = _prepared(feedback)
+                                        pass_len, subkeys):
+        plan, neg_state, neg_meta = _prepared(feedback, subkeys=subkeys)
         n_ib, Kcap, trials, I, IB = neg_meta
+        if subkeys:
+            keys_arg = neg_state["subkeys_tbl"]
+            Kcap = neg_state["ksub"]
+        else:
+            keys_arg = neg_state["keys_tbl"]
         f, fe = 6, 8
         slab_blocks = 1
         packed_ext, S, n_pass, P, slab_items = pb.bpr_tiled_plan(
@@ -455,9 +466,9 @@ class TestTiledBPREpoch:
         packed_np = np.asarray(packed_ext)
         u_loc = jnp.asarray(packed_np[row][:, 0, :])
         j_loc, ok = pb.sample_negatives_from_bits(
-            neg_state["keys_tbl"], bits, jnp.asarray(jb),
+            keys_arg, bits, jnp.asarray(jb),
             jnp.asarray(nval), jnp.asarray(bkt), u_loc, meta=neg_meta,
-            wbpr=wbpr, cdf_tbl=neg_state["cdf_tbl"])
+            wbpr=wbpr, cdf_tbl=neg_state["cdf_tbl"], subkeys=subkeys)
         j_loc, ok = np.asarray(j_loc), np.asarray(ok)
 
         # numpy oracle over the flat tiled visit order
@@ -489,12 +500,12 @@ class TestTiledBPREpoch:
 
         bits_p = bits.reshape(n_pass, P, trials, plan.chunk)
         Wk, Hk, neg_dbg = pb.bpr_epoch_mxu_tiled(
-            We, He, packed_ext, neg_state["keys_tbl"],
+            We, He, packed_ext, keys_arg,
             neg_state["cdf_tbl"], bits_p, order, rates,
             meta=(P, plan.chunk, plan.user_block, IB, plan.n_ublocks,
                   slab_rows, fe, Kcap, trials),
             num_slabs=S, soft_margin=soft_margin, wbpr=wbpr,
-            mxu_dtype="f32", interpret=True)
+            subkeys=subkeys, mxu_dtype="f32", interpret=True)
         neg_dbg = np.asarray(neg_dbg)
         np.testing.assert_array_equal(neg_dbg[:, 0], j_loc)
         np.testing.assert_array_equal(
