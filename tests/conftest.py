@@ -8,11 +8,17 @@ backend is initialized)."""
 
 import os
 
+TPU_SMOKE = os.environ.get("MML_TPU_SMOKE") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not TPU_SMOKE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+# MML_TPU_SMOKE=1 keeps the real TPU backend for tests/test_tpu_smoke.py
+# (run it alone: MML_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py); the
+# rest of the suite is written for the virtual CPU mesh.
