@@ -310,11 +310,13 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 # sampling) is sized inside prepare from the actual
                 # plan geometry; the tiled kernel uses sub-bucket keys
                 bitmask=False if tiled else "auto",
-                # the BPR kernel's fixed per-chunk cost (6 one-hot
-                # matmuls + 8 sequential rejection trials + conditioned
-                # DMAs) measures ~10-15us vs ~1.5us/128 marginal slots
-                # — weight the chunk choice accordingly (2026-08-20)
-                chunk_overhead=1024 if tiled else 0)
+                # per-chunk fixed cost in slot-equivalents: the
+                # 2026-08-21 chunk sweep (exp_bpr_tiled.py, KDD shape,
+                # dedup'd sub-bucket keys) measured 19.7 / 41.4 / 35.4M
+                # triples/s at chunk 128 / 256 / 512 — overhead 512
+                # makes the histogram planner land on the measured
+                # optimum at this shape and scale with skew elsewhere
+                chunk_overhead=512 if tiled else 0)
         self._bpr_plan = plan
         self._bpr_neg_state = neg_state
         self._bpr_neg_meta = neg_meta
@@ -650,6 +652,14 @@ class MultiCoreBPRMF(BPRMF):
 
     def iterate(self):
         self._ensure_epoch_ready()
+        # the sharded MXU epoch (base-class production path on a mesh,
+        # ops/kernel_select.py) beats the XLA sharded epoch ~25x —
+        # engage it whenever supported; the psum-merged XLA epoch below
+        # stays the fallback for shapes the MXU kernels cannot take
+        if getattr(self, "_bpr_dirty", True):
+            self._prepare_mxu()
+        if self._bpr_plan is not None:
+            return self._iterate_mxu()
         if self._mesh is None:
             return super().iterate()
         import jax

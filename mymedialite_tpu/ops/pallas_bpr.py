@@ -173,6 +173,16 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     keys = (u_loc.astype(np.int64) * IB + i_loc)[real].astype(np.int32)
     bkt_r = np.broadcast_to(bkt_c[:, None], u_loc.shape)[real]
     n_bkt = plan.n_ublocks * n_ib
+    # DEDUP keys per bucket: repeated (u, i) events produce duplicate
+    # membership keys that waste table capacity (measured 34% key
+    # truncation on zipf-1.2 data came almost entirely from duplicates
+    # — a heavy user hits the head item dozens of times); membership is
+    # a SET test, so dedup is semantics-free
+    bkt_raw = bkt_r                  # per-event (bitmask build below)
+    uniq = np.unique(bkt_r.astype(np.int64) * (plan.user_block * IB)
+                     + keys)
+    bkt_r = (uniq // (plan.user_block * IB)).astype(np.int64)
+    keys = (uniq % (plan.user_block * IB)).astype(np.int32)
     cnt = np.bincount(bkt_r, minlength=n_bkt)
     Kcap = _round_up(max(int(cnt.max()) if cnt.size else 1, 1), 128)
     if kcap is not None and Kcap > kcap:
@@ -194,18 +204,32 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
     within = np.arange(keys.size) - off[sb]
     keep = within < Kcap
     keys_tbl[sb[keep], within[keep]] = keys[order][keep]
-    # measured truncation for THIS dataset (ADVICE r3 #1): the capped
-    # path accepts a dropped key's item as a negative with probability
-    # ~ the dropped fraction x the per-draw hit rate; surface it so the
-    # bound is checked per-dataset, not assumed from the benchmarked
-    # shape, and escalate when it exceeds the documented ~1e-3 regime
+    # measured truncation bias for THIS dataset (ADVICE r3 #1): a
+    # negative draw is CORRUPT when it lands on one of the user's
+    # truncated positives. P(corrupt | event of u) = dropped_keys(u)/I
+    # (block drawn with P = nvalid_b/I, candidate uniform within), so
+    # the expected corrupted-triple fraction is
+    # sum_u |events_u| * dropped(u) / (n * I) — computed exactly here
+    # instead of assumed from the benchmarked shape
+    def _corruption_rate(dropped_keys, dropped_bkt):
+        if dropped_keys.size == 0:
+            return 0.0
+        g_user = ((dropped_bkt // n_ib) * plan.user_block
+                  + dropped_keys // IB).astype(np.int64)
+        du = np.bincount(g_user, minlength=max(U, 1))
+        ev = np.zeros(max(U, 1), np.float64)
+        ev[:counts.shape[0]] = counts
+        return float((ev * du[:ev.shape[0]]).sum()) / (
+            max(len(users), 1) * max(I, 1))
+
     dropped = 1.0 - (float(keep.sum()) / max(keys.size, 1))
-    if dropped > 1e-3:
+    corrupt = _corruption_rate(keys[order][~keep], sb[~keep])
+    if corrupt > 1e-3:
         import warnings
         warnings.warn(
             f"prepare_bpr_mxu: membership-key cap Kcap={Kcap} drops "
-            f"{dropped:.2%} of event keys; corrupted-triple rate scales "
-            "with this fraction — raise kcap for this dataset",
+            f"{dropped:.2%} of unique keys; estimated corrupted-triple "
+            f"rate {corrupt:.2e} exceeds 1e-3 — raise kcap",
             RuntimeWarning)
 
     # per-block popularity CDF (over local new-id slots): item at local
@@ -224,7 +248,7 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
 
     neg_state = dict(keys_tbl=jnp.asarray(keys_tbl), nvalid=nvalid,
                      cdf_tbl=jnp.asarray(cdf), block_mass=block_mass,
-                     key_truncation=dropped)
+                     key_truncation=dropped, key_corruption=corrupt)
     if subkeys:
         # sub-bucketed membership keys (the tiled kernel's sampler):
         # bucket (ub, jb)'s keys split into 8 sub-buckets by u_loc & 7,
@@ -252,15 +276,19 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
         keep2 = within2 < Ksub
         sub_tbl[sk[keep2], within2[keep2]] = keys[order2][keep2]
         sub_dropped = 1.0 - (float(keep2.sum()) / max(keys.size, 1))
-        if sub_dropped > 1e-3:
+        sub_corrupt = _corruption_rate(keys[order2][~keep2],
+                                       sk[~keep2] // S)
+        if sub_corrupt > 1e-3:
             import warnings
             warnings.warn(
                 f"prepare_bpr_mxu: sub-bucket key cap Ksub={Ksub} drops "
-                f"{sub_dropped:.2%} of event keys — raise ksub_cap",
-                RuntimeWarning)
+                f"{sub_dropped:.2%} of unique keys; estimated "
+                f"corrupted-triple rate {sub_corrupt:.2e} exceeds 1e-3 "
+                "— raise ksub_cap", RuntimeWarning)
         neg_state["subkeys_tbl"] = jnp.asarray(sub_tbl)
         neg_state["ksub"] = Ksub
         neg_state["subkey_truncation"] = sub_dropped
+        neg_state["subkey_corruption"] = sub_corrupt
     if bitmask == "auto":
         # eligibility decided HERE from the actual plan geometry (the
         # [n_bkt, UB, IB/8] table's true footprint), not from re-derived
@@ -278,7 +306,7 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
         bm = np.zeros((n_bkt, UBp, nb8), np.uint8)
         uu = u_loc.reshape(-1)[real.reshape(-1)]
         ii = i_loc.reshape(-1)[real.reshape(-1)]
-        np.bitwise_or.at(bm, (bkt_r, uu, ii >> 3),
+        np.bitwise_or.at(bm, (bkt_raw, uu, ii >> 3),
                          (1 << (ii & 7)).astype(np.uint8))
         neg_state["bitmask_tbl"] = jnp.asarray(bm.view(np.int8))
     neg_meta = (n_ib, Kcap, num_neg_trials, I, IB)

@@ -245,3 +245,19 @@ class TestShardedModelLayer:
         s = m.predict_batch(np.arange(8, dtype=np.int32),
                             np.arange(8, dtype=np.int32))
         assert np.isfinite(s).all()
+
+    def test_multicore_bprmf_prefers_sharded_mxu(self, monkeypatch):
+        """MultiCoreBPRMF (the reference's parallel BPR) rides the
+        sharded MXU epoch when supported, not the XLA psum epoch."""
+        from mymedialite_tpu.models.bpr import MultiCoreBPRMF
+
+        monkeypatch.setenv("MML_MXU", "sharded-interpret")
+        m = MultiCoreBPRMF()
+        m.num_factors = 6
+        m.num_iter = 2
+        m.feedback = _feedback(80, 60, 1200, seed=5)
+        m.train()
+        assert isinstance(m._bpr_plan, pb.BprShardedPlan)
+        s = m.predict_batch(np.arange(8, dtype=np.int32),
+                            np.arange(8, dtype=np.int32))
+        assert np.isfinite(s).all()
