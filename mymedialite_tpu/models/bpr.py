@@ -59,6 +59,32 @@ class ItemMF(IncrementalItemRecommender, IterativeModel):
         self.params = None
         self._key = None
 
+    # --- params with lazy MXU-layout materialization ------------------
+    #
+    # The MXU epochs keep their kernel-layout tables resident across
+    # iterate() calls (self._mxu_tables): converting per epoch costs
+    # more than the epoch itself at big catalogs (scatter/gather of
+    # ~625k rows measured 2.6 + 1.2 s vs 0.32 s for the kernel,
+    # 2026-08-21). Any read of .params materializes the std layout —
+    # and conservatively invalidates the table cache, since callers may
+    # mutate the returned dict in place (retrain_user etc. do).
+
+    @property
+    def params(self):
+        tabs = getattr(self, "_mxu_tables", None)
+        if tabs is not None:
+            self._params = self._materialize_params(tabs)
+            self._mxu_tables = None
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._mxu_tables = None
+
+    def _materialize_params(self, tabs):
+        raise NotImplementedError  # overridden by the MXU-epoch models
+
     def init_model(self):
         from mymedialite_tpu.utils import rand
         f = self.feedback
@@ -260,6 +286,11 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         return select_mxu_mode(self.feedback.num_items, self.num_factors)
 
     def _prepare_mxu(self):
+        # a new plan means a new item permutation / padding — fold any
+        # resident kernel-layout tables back into params first
+        if getattr(self, "_mxu_tables", None) is not None:
+            self._params = self._materialize_params(self._mxu_tables)
+            self._mxu_tables = None
         self._bpr_dirty = False
         self._bpr_plan = None
         self._bpr_mesh = None
@@ -312,11 +343,11 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 bitmask=False if tiled else "auto",
                 # per-chunk fixed cost in slot-equivalents: the
                 # 2026-08-21 chunk sweep (exp_bpr_tiled.py, KDD shape,
-                # dedup'd sub-bucket keys) measured 19.7 / 41.4 / 35.4M
-                # triples/s at chunk 128 / 256 / 512 — overhead 512
-                # makes the histogram planner land on the measured
-                # optimum at this shape and scale with skew elsewhere
-                chunk_overhead=512 if tiled else 0)
+                # dedup'd sub-bucket keys) measured 19.7 / 41.4 / 35.9 /
+                # 35.4M triples/s at chunk 128 / 256 / 384 / 512 —
+                # overhead 256 makes the histogram planner land on the
+                # measured optimum at this shape and scale with skew
+                chunk_overhead=256 if tiled else 0)
         self._bpr_plan = plan
         self._bpr_neg_state = neg_state
         self._bpr_neg_meta = neg_meta
@@ -333,30 +364,62 @@ class BPRMF(ItemMF, FoldInItemRecommender):
         else:
             self._bpr_tiled = None
 
+    def _materialize_params(self, tabs):
+        from mymedialite_tpu.ops import pallas_bpr as pb
+        We, He = tabs
+        W, H, bias = pb.bpr_tables_from_mxu(
+            We, He, self._bpr_new_of_old,
+            num_users=self._mxu_num_users, num_factors=self.num_factors)
+        return dict(user_factors=W, item_factors=H, item_bias=bias)
+
     def _iterate_mxu(self):
-        """One epoch through the Pallas kernel: params convert to the
-        kernel layout on device, the epoch runs with negatives sampled
-        inside the kernel (random bits generated in one fused XLA op),
-        and the results convert back — the model's canonical state stays
-        the params dict, so predict / retrain / save-load paths are
+        """One epoch through the Pallas kernel: the kernel-layout
+        tables stay RESIDENT across iterate() calls (the per-epoch
+        scatter/gather layout conversions cost several x the epoch
+        itself at big catalogs); negatives are sampled inside the
+        kernel from hardware-RNG bits. Reads of .params materialize the
+        std layout lazily, so predict / retrain / save-load paths are
         untouched."""
         import numpy as np
 
         from mymedialite_tpu.ops import pallas_bpr as pb
         plan = self._bpr_plan
-        p = self.params
         f = self.num_factors
         fe = max(64, ((f + 2 + 7) // 8) * 8)
-        We, He = pb.bpr_tables_to_mxu(
-            p["user_factors"], p["item_factors"], p["item_bias"],
-            self._bpr_new_of_old, u_pad=plan.u_pad, i_pad=plan.i_pad, fe=fe)
+        tl = getattr(self, "_bpr_tiled", None)
+        tabs = getattr(self, "_mxu_tables", None)
+        if tabs is not None:
+            We, He = tabs
+            self._mxu_tables = None     # donated into the epoch below
+        else:
+            p = self._params
+            self._mxu_num_users = p["user_factors"].shape[0]
+            We, He = pb.bpr_tables_to_mxu(
+                p["user_factors"], p["item_factors"], p["item_bias"],
+                self._bpr_new_of_old, u_pad=plan.u_pad,
+                i_pad=plan.i_pad, fe=fe)
+            if tl is not None:
+                # pad the item table to whole slabs ONCE per residency
+                i_pad2 = tl["num_slabs"] * tl["slab_blocks"] \
+                    * plan.item_block
+                if He.shape[0] < i_pad2:
+                    He = jnp.concatenate([He, jnp.zeros(
+                        (i_pad2 - He.shape[0], He.shape[1]), He.dtype)])
+            elif isinstance(plan, pb.BprShardedPlan):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh2 = NamedSharding(self._bpr_mesh, P("data", None))
+                We = jax.device_put(We, sh2)
+                He = jax.device_put(He, sh2)
         rates = pb.bpr_mxu_column_rates(
             f, fe, self.learn_rate, self.reg_u, self.reg_i, self.reg_j,
             self.bias_reg, self.update_j)
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
         n_ib, Kcap, trials, num_items, _IB = self._bpr_neg_meta
         seed = (self.random_seed + 1) * 1_000_003 + self._epoch_counter
-        tl = getattr(self, "_bpr_tiled", None)
+        # sampler bits ride the TPU hardware RNG (threefry measured
+        # ~1.2 s per 1.2 GB epoch of bits — comparable to the epoch
+        # itself); deterministic per (seed, epoch)
+        k_bits = jax.random.key(seed & 0x7FFFFFFF, impl="unsafe_rbg")
         if isinstance(plan, pb.BprShardedPlan):
             from jax.sharding import NamedSharding, PartitionSpec as P
             mesh = self._bpr_mesh
@@ -369,7 +432,6 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 self._bpr_neg_state["nvalid"], seed,
                 block_mass=(self._bpr_neg_state["block_mass"]
                             if self.MXU_POPULARITY else None))
-            self._key, k_bits = jax.random.split(self._key)
             bits = pb.epoch_random_bits(
                 k_bits, nc=D * D * plan.nc_pad, trials=trials,
                 C=plan.chunk).reshape(D, D, plan.nc_pad, trials,
@@ -382,7 +444,7 @@ class BPRMF(ItemMF, FoldInItemRecommender):
             ub, ibk, jb, jbg, nval, bkt, row = (
                 jax.device_put(a, sh3) for a in order)
             We, He, _neg = pb.bpr_epoch_mxu_sharded_jit(
-                mesh, jax.device_put(We, sh2), jax.device_put(He, sh2),
+                mesh, We, He,
                 jax.device_put(plan.packed, repl),
                 jax.device_put(self._bpr_neg_state["keys_tbl"], repl),
                 jax.device_put(self._bpr_neg_state["cdf_tbl"], repl),
@@ -393,7 +455,6 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
                 mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret)
         elif tl is not None:
-            self._key, k_bits = jax.random.split(self._key)
             order = pb.bpr_tiled_epoch_order(
                 plan, self._bpr_neg_state["nvalid"], tl["slab_items"],
                 slab_blocks=tl["slab_blocks"], num_slabs=tl["num_slabs"],
@@ -406,11 +467,6 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 trials=trials, C=plan.chunk).reshape(
                 tl["num_passes"], tl["pass_len"], trials, plan.chunk)
             slab_rows = tl["slab_blocks"] * plan.item_block
-            # re-pad the item table to whole slabs
-            i_pad2 = tl["num_slabs"] * slab_rows
-            if He.shape[0] < i_pad2:
-                He = jnp.concatenate([He, jnp.zeros(
-                    (i_pad2 - He.shape[0], He.shape[1]), He.dtype)])
             We, He, _neg = pb.bpr_epoch_mxu_tiled(
                 We, He, tl["packed"], self._bpr_neg_state["subkeys_tbl"],
                 self._bpr_neg_state["cdf_tbl"], bits, order, rates,
@@ -428,7 +484,6 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 (self.random_seed + 7) * 999_983 + self._epoch_counter,
                 block_mass=(self._bpr_neg_state["block_mass"]
                             if self.MXU_POPULARITY else None))
-            self._key, k_bits = jax.random.split(self._key)
             bits = pb.epoch_random_bits(k_bits, nc=plan.num_chunks,
                                         trials=trials, C=plan.chunk)
             We, He, _neg = pb.bpr_epoch_mxu(
@@ -439,10 +494,8 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
                 mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret,
                 bm_tbl=self._bpr_neg_state.get("bitmask_tbl"))
-        W, H, bias = pb.bpr_tables_from_mxu(
-            We, He, self._bpr_new_of_old,
-            num_users=p["user_factors"].shape[0], num_factors=f)
-        self.params = dict(user_factors=W, item_factors=H, item_bias=bias)
+        # tables stay resident; .params materializes lazily on read
+        self._mxu_tables = (We, He)
 
     def iterate(self):
         self._ensure_epoch_ready()

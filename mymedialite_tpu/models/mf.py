@@ -113,6 +113,7 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
 
         self.W_ext = None           # [U_pad, f+2] fused user table
         self.H_ext = None           # [I, f+2] fused item table
+        self._mxu_tables = None     # resident kernel-layout tables
         self.global_bias = 0.0
         self.current_learnrate = None
         self._blocked = None
@@ -120,6 +121,47 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self._mxu_plan = None
         self._flat_cache = None
         self._key = None
+
+    # --- std tables with lazy MXU-layout materialization --------------
+    #
+    # The Pallas epochs keep their kernel-layout tables resident across
+    # iterate() calls (per-epoch scatter/gather layout conversions cost
+    # several x the epoch itself at big catalogs — measured 2026-08-21,
+    # see models/bpr.py). Reads of W_ext/H_ext materialize the std
+    # layout and conservatively drop the kernel cache (callers may
+    # derive state from what they read).
+
+    @property
+    def W_ext(self):
+        self._sync_std_tables()
+        return self._W_ext
+
+    @W_ext.setter
+    def W_ext(self, v):
+        self._W_ext = v
+        self._mxu_tables = None
+
+    @property
+    def H_ext(self):
+        self._sync_std_tables()
+        return self._H_ext
+
+    @H_ext.setter
+    def H_ext(self, v):
+        self._H_ext = v
+        self._mxu_tables = None
+
+    def _sync_std_tables(self):
+        tabs = getattr(self, "_mxu_tables", None)
+        if tabs is None:
+            return
+        from mymedialite_tpu.ops import pallas_sgd as ps
+        We, He = tabs
+        num_users_pad, fe_std = self._mxu_std_shape
+        self._W_ext, self._H_ext = ps.tables_mxu_to_std(
+            We, He, self._mxu_new_of_old, num_users_pad=num_users_pad,
+            fe_std=fe_std)
+        self._mxu_tables = None
 
     # --- hyperparameter plumbing ---
 
@@ -198,6 +240,9 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         return select_mxu_mode(self.ratings.num_items, self.num_factors)
 
     def _prepare_epoch_data(self):
+        # a new plan means a new item permutation / padding — fold any
+        # resident kernel-layout tables back into the std layout first
+        self._sync_std_tables()
         data = self.ratings
         self._mxu_plan = None
         self._mxu_mesh = None
@@ -316,19 +361,31 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         self.update_learn_rate()
 
     def _iterate_mxu(self, update_user: bool, update_item: bool):
-        """One epoch through the Pallas MXU kernel: std tables convert to
-        the kernel layout on device, the epoch runs, and the results
-        convert back — the model's canonical state stays the ops/sgd.py
-        fused-table layout, so every other path (predict, retrain,
-        save/load) is untouched."""
+        """One epoch through the Pallas MXU kernel: the kernel-layout
+        tables stay RESIDENT across iterate() calls (per-epoch layout
+        conversions cost several x the epoch itself at big catalogs);
+        reads of W_ext/H_ext materialize the std layout lazily, so
+        every other path (predict, retrain, save/load) is untouched."""
         from mymedialite_tpu.ops import pallas_sgd as ps
         plan = self._mxu_plan
         f = self.num_factors
-        fe_std = self.W_ext.shape[1]
         fe = max(64, ((f + 2 + 7) // 8) * 8)
-        We, He = ps.tables_std_to_mxu(
-            self.W_ext, self.H_ext, self._mxu_new_of_old,
-            u_pad=plan.u_pad, i_pad=plan.i_pad, fe_mxu=fe)
+        tabs = getattr(self, "_mxu_tables", None)
+        if tabs is not None:
+            We, He = tabs
+            self._mxu_tables = None     # donated into the epoch below
+        else:
+            self._mxu_std_shape = (self._W_ext.shape[0],
+                                   self._W_ext.shape[1])
+            We, He = ps.tables_std_to_mxu(
+                self._W_ext, self._H_ext, self._mxu_new_of_old,
+                u_pad=plan.u_pad, i_pad=plan.i_pad, fe_mxu=fe)
+            if isinstance(plan, ps.MxuShardedPlan):
+                from jax.sharding import NamedSharding, \
+                    PartitionSpec as P
+                sh2 = NamedSharding(self._mxu_mesh, P("data", None))
+                We = jax.device_put(We, sh2)
+                He = jax.device_put(He, sh2)
         rates = ps.mxu_column_rates(
             f, fe, self.current_learnrate, self.reg_u, self.reg_i,
             getattr(self, "bias_learn_rate", 1.0),
@@ -343,12 +400,11 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
         if isinstance(plan, ps.MxuShardedPlan):
             from jax.sharding import NamedSharding, PartitionSpec as P
             mesh = self._mxu_mesh
-            sh2 = NamedSharding(mesh, P("data", None))
             sh3 = NamedSharding(mesh, P("data", None, None))
             repl = NamedSharding(mesh, P())
             ub, ib, row = order
             We, He = ps.sgd_epoch_mxu_sharded_jit(
-                mesh, jax.device_put(We, sh2), jax.device_put(He, sh2),
+                mesh, We, He,
                 jax.device_put(plan.packed, repl),
                 jax.device_put(ub, sh3), jax.device_put(ib, sh3),
                 jax.device_put(row, sh3),
@@ -370,9 +426,8 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
                 meta=plan.meta(fe), loss=self.loss_id, biased=self.BIASED,
                 mxu_dtype=self.mxu_dtype,
                 interpret=getattr(self, "_mxu_interpret", False))
-        self.W_ext, self.H_ext = ps.tables_mxu_to_std(
-            We, He, self._mxu_new_of_old,
-            num_users_pad=self.W_ext.shape[0], fe_std=fe_std)
+        # tables stay resident; W_ext/H_ext materialize lazily on read
+        self._mxu_tables = (We, He)
         self.update_learn_rate()
 
     def update_learn_rate(self):
