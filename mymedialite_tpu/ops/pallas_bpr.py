@@ -224,7 +224,9 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
 
     dropped = 1.0 - (float(keep.sum()) / max(keys.size, 1))
     corrupt = _corruption_rate(keys[order][~keep], sb[~keep])
-    if corrupt > 1e-3:
+    if corrupt > 1e-3 and not subkeys:
+        # with subkeys the flat table is vestigial (the tiled kernel
+        # tests membership against the sub-bucket tables below)
         import warnings
         warnings.warn(
             f"prepare_bpr_mxu: membership-key cap Kcap={Kcap} drops "
@@ -265,26 +267,25 @@ def prepare_bpr_mxu(feedback, *, uniform_user: bool, user_block: int = 512,
         sub_of = (keys // IB) & (S - 1)
         skey = bkt_r * S + sub_of
         scnt = np.bincount(skey, minlength=n_bkt * S)
-        Ksub = _round_up(max(int(scnt.max()) if scnt.size else 1, 1), 128)
-        if ksub_cap is not None and Ksub > ksub_cap:
-            Ksub = _round_up(ksub_cap, 128)
-        sub_tbl = np.full((n_bkt * S, Ksub), -1, np.int32)
+        Kmax = _round_up(max(int(scnt.max()) if scnt.size else 1, 1), 128)
+        Ksub = min(Kmax, _round_up(ksub_cap, 128)) if ksub_cap else Kmax
         order2 = np.argsort(skey, kind="stable")
         off2 = np.concatenate([[0], np.cumsum(scnt)])
         sk = skey[order2]
         within2 = np.arange(keys.size) - off2[sk]
-        keep2 = within2 < Ksub
+        while True:
+            keep2 = within2 < Ksub
+            sub_dropped = 1.0 - (float(keep2.sum()) / max(keys.size, 1))
+            sub_corrupt = _corruption_rate(keys[order2][~keep2],
+                                           sk[~keep2] // S)
+            if sub_corrupt <= 1e-3 or Ksub >= Kmax:
+                break
+            # correctness over speed: auto-raise the cap until the
+            # corrupted-triple bound holds for THIS dataset (the cap is
+            # a compare-cost knob, not a license for sampling bias)
+            Ksub = min(Ksub * 2, Kmax)
+        sub_tbl = np.full((n_bkt * S, Ksub), -1, np.int32)
         sub_tbl[sk[keep2], within2[keep2]] = keys[order2][keep2]
-        sub_dropped = 1.0 - (float(keep2.sum()) / max(keys.size, 1))
-        sub_corrupt = _corruption_rate(keys[order2][~keep2],
-                                       sk[~keep2] // S)
-        if sub_corrupt > 1e-3:
-            import warnings
-            warnings.warn(
-                f"prepare_bpr_mxu: sub-bucket key cap Ksub={Ksub} drops "
-                f"{sub_dropped:.2%} of unique keys; estimated "
-                f"corrupted-triple rate {sub_corrupt:.2e} exceeds 1e-3 "
-                "— raise ksub_cap", RuntimeWarning)
         neg_state["subkeys_tbl"] = jnp.asarray(sub_tbl)
         neg_state["ksub"] = Ksub
         neg_state["subkey_truncation"] = sub_dropped
