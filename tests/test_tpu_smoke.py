@@ -75,10 +75,12 @@ class TestTpuSmokeSgd:
         exact aliasing class where interpret mode diverges."""
         from mymedialite_tpu.ops import pallas_sgd as ps
 
-        U, I, f, fe = 60, 512, 6, 64
+        # tiled kernels store tables TRANSPOSED: user_block/item_block
+        # must be lane-tile (128) aligned (production: 512/1024)
+        U, I, f, fe = 200, 512, 6, 64
         users, items, values = _events(U, I, n=600, seed=2)
         plan = ps.prepare_mxu_tiled(users, items, values, U, I,
-                                    user_block=8, item_block=128,
+                                    user_block=128, item_block=128,
                                     chunk=128, slab_blocks=1,
                                     shuffle_seed=0, pass_len=4096)
         assert plan.num_slabs > 1
@@ -164,10 +166,12 @@ class TestTpuSmokeBpr:
         + refetch flags on the real chip."""
         from mymedialite_tpu.ops import pallas_bpr as pb
 
-        U, I, f, fe = 60, 512, 6, 64
+        # tiled kernels store tables TRANSPOSED: user_block/item_block
+        # must be lane-tile (128) aligned (production: 512/1024)
+        U, I, f, fe = 200, 512, 6, 64
         fb = self._fb(U, I, n=600, seed=6)
         plan, neg_state, neg_meta = pb.prepare_bpr_mxu(
-            fb, uniform_user=True, user_block=8, item_block=128,
+            fb, uniform_user=True, user_block=128, item_block=128,
             chunk=128, shuffle_seed=0, bitmask=False, subkeys=True)
         n_ib, Kcap, trials, _, IB = neg_meta
         Ksub = neg_state["ksub"]
