@@ -519,11 +519,14 @@ def bench_knn_corr():
 
     rng = np.random.default_rng(8)
     fb = _synth_feedback(rng)
-    # warm/compile on a slice
-    corr_ops.binary_correlation_topk(
-        PosOnlyData(fb.users[:100_000], fb.items[:100_000],
-                    num_users=NUM_USERS, num_items=NUM_ITEMS),
-        NUM_USERS, NUM_ITEMS, k=80, kind="cosine")
+    # first call compiles (the incidence is ~n*m bytes of HBM — one at
+    # a time; a slice-shaped warm-up would allocate a SECOND full-size
+    # incidence and OOM)
+    t0 = time.time()
+    corr_ops.binary_correlation_topk(fb, NUM_USERS, NUM_ITEMS, k=80,
+                                     kind="cosine")
+    print(f"knn corr compile+run: {time.time() - t0:.1f}s",
+          file=sys.stderr)
     t0 = time.time()
     ids, vals = corr_ops.binary_correlation_topk(
         fb, NUM_USERS, NUM_ITEMS, k=80, kind="cosine")

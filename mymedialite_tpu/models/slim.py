@@ -59,10 +59,15 @@ class _SLIM(IncrementalItemRecommender, IterativeModel):
         for _ in range(self.num_iter):
             self.iterate()
 
-    def _incidence(self):
+    def _user_rows(self, users):
+        """Dense 0/1 incidence rows for the REQUESTED users only
+        ([B, I] f32, host-built from the CSR) — the full [U, I] f32
+        incidence is 34 GB at the Netflix user count."""
         f = self.feedback
-        return jnp.asarray(corr_ops.incidence_dense(
-            f, f.num_users, f.num_items))
+        out = np.zeros((len(users), f.num_items), np.float32)
+        for r, u in enumerate(np.asarray(users, dtype=np.int64)):
+            out[r, f.items_by_user(int(u))] = 1.0
+        return jnp.asarray(out)
 
     def predict_batch(self, users, items):
         users = np.asarray(users, dtype=np.int64)
@@ -81,8 +86,7 @@ class _SLIM(IncrementalItemRecommender, IterativeModel):
     def score_catalog(self, users):
         users = np.clip(np.asarray(users, dtype=np.int64), 0,
                         self.feedback.num_users - 1)
-        M = self._incidence()
-        return np.asarray(M[jnp.asarray(users)] @ self.W.T)
+        return np.asarray(self._user_rows(users) @ self.W.T)
 
     def _retrain(self, users, items):
         if self.W is not None:
@@ -124,25 +128,43 @@ class LeastSquareSLIM(_SLIM):
     def _ensure_epoch_ready(self):
         """Lazily rebuild feedback-derived sweep state after load_model
         (reference Model.Load + --find-iter contract, IO/Model.cs:67-83)."""
-        if getattr(self, "_M", None) is None:
+        if getattr(self, "_C", None) is None:
             if self.feedback is None:
                 raise RuntimeError("LeastSquareSLIM: no feedback set")
             self._build_epoch_state()
 
     def _build_epoch_state(self):
         f = self.feedback
-        self._M = self._incidence()                       # [U, I]
-        self._C = jnp.dot(self._M.T, self._M,
-                          preferred_element_type=jnp.float32)  # co-occurrence
-        self._cj = jnp.sum(self._M, axis=0)               # |U_j|
         I = f.num_items
+        # co-occurrence C = M^T M and column counts WITHOUT the dense
+        # [U, I] f32 incidence (34 GB at Netflix user counts): slab
+        # Gram over the int8 incidence, counts from host unique pairs.
+        # The sweep itself only needs C — S^T M = W M^T M = W C.
+        chunk = 4096
+        n_pad = ((f.num_users + chunk - 1) // chunk) * chunk
+        A8 = corr_ops._device_incidence(
+            np.asarray(f.users, np.int32), np.asarray(f.items, np.int32),
+            jnp.int8(1), n_pad=n_pad, m=I)
+        C = jnp.zeros((I, I), jnp.float32)
+        for r0 in range(0, n_pad, 16_384):
+            rows = min(16_384, n_pad - r0)
+            C = _gram_slab(C, A8, jnp.int32(r0), rows=rows)
+        self._C = C
+        del A8
+        key = np.asarray(f.users, np.int64) * I + np.asarray(f.items,
+                                                             np.int64)
+        uf = np.unique(key) % I
+        self._cj = jnp.asarray(np.bincount(uf, minlength=I)
+                               .astype(np.float32))
+        self._num_users = f.num_users
         if self.k > 0:
-            # feature selection: only the k most cosine-similar items may
-            # get nonzero weight (reference InitModel + GetMostSimilarItems)
+            # feature selection: only the k most cosine-similar items
+            # may get nonzero weight (reference InitModel +
+            # GetMostSimilarItems) — streaming top-k over the item-major
+            # view (the dense [I, U] f32 incidence is equally infeasible)
             view = type("V", (), dict(users=f.items, items=f.users))
-            corr = corr_ops.binary_correlation(view, I, f.num_users,
-                                               kind="cosine")
-            nn = corr_ops.nearest_neighbors(corr, self.k)
+            nn, _vals = corr_ops.binary_correlation_topk(
+                view, I, f.num_users, k=self.k, kind="cosine")
             mask = np.zeros((I, I), dtype=np.float32)
             rows = np.repeat(np.arange(I), nn.shape[1])
             mask[rows, nn.reshape(-1)] = 1.0
@@ -153,21 +175,37 @@ class LeastSquareSLIM(_SLIM):
 
     def iterate(self):
         self._ensure_epoch_ready()
-        self.W = _ls_slim_sweep(self.W, self._M, self._C, self._cj,
-                                self._mask, jnp.float32(self.reg_l1),
+        self.W = _ls_slim_sweep(self.W, self._C, self._cj, self._mask,
+                                jnp.float32(self._num_users),
+                                jnp.float32(self.reg_l1),
                                 jnp.float32(self.reg_l2))
 
 
+import functools as _functools  # noqa: E402
+
+
+@_functools.partial(jax.jit, static_argnames=("rows",),
+                    donate_argnames=("C",))
+def _gram_slab(C, A8, row0, *, rows: int):
+    """C += slab^T slab over one int8 incidence row-slab (0/1 exact in
+    bf16; counts < 2^24 exact in the f32 accumulator)."""
+    S = jax.lax.dynamic_slice(
+        A8, (row0, 0), (rows, A8.shape[1])).astype(jnp.bfloat16)
+    return C + jax.lax.dot_general(S, S, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+
 @jax.jit
-def _ls_slim_sweep(W, M, C, cj, mask, reg_l1, reg_l2):
+def _ls_slim_sweep(W, C, cj, mask, num_users, reg_l1, reg_l2):
     """One Jacobi sweep of the elastic-net coordinate update
     (reference UpdateParameters, LeastSquareSLIM.cs:140-176):
       grad[i,j] = (C[i,j] - (sum_{u in U_j} pred(u,i) - c_j W[i,j])) / U
-      W[i,j] = soft_threshold(grad, l1) / (1 + l2), masked."""
-    U = M.shape[0]
-    S = jnp.dot(M, W.T, preferred_element_type=jnp.float32)   # [U, I] preds
-    A = jnp.dot(S.T, M, preferred_element_type=jnp.float32)   # [I, I]
-    grad = (C - (A - cj[None, :] * W)) / U
+      W[i,j] = soft_threshold(grad, l1) / (1 + l2), masked.
+    The prediction sum collapses algebraically: S^T M = W M^T M = W C,
+    so the sweep is ONE [I, I] x [I, I] MXU matmul — no user-dimension
+    tensor at all."""
+    A = jnp.dot(W, C, preferred_element_type=jnp.float32)     # [I, I]
+    grad = (C - (A - cj[None, :] * W)) / num_users
     new_w = jnp.where(
         jnp.abs(grad) > reg_l1,
         (grad - jnp.sign(grad) * reg_l1) / (1.0 + reg_l2),

@@ -181,11 +181,54 @@ def rating_correlation(ratings, entity: str = "user", kind: str = "pearson",
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "m"))
-def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int, m: int):
-    """int8 [n_pad, m] incidence built by one device scatter (duplicate
-    (entity, feature) pairs collapse, matching ``incidence_dense``)."""
-    A = jnp.zeros((n_pad, m), jnp.int8)
-    return A.at[entity_ids, feature_ids].set(levels, mode="drop")
+@functools.partial(jax.jit, static_argnames=("n_pad", "m"))
+def _zeros_int8(*, n_pad: int, m: int):
+    return jnp.zeros((n_pad, m), jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "m"),
+                   donate_argnames=("A",))
+def _incidence_slab(A, e_rel, f, lev, row0, *, rows: int, m: int):
+    S = jnp.zeros((rows, m), jnp.int8)
+    S = S.at[e_rel, f].set(lev, mode="drop")
+    return jax.lax.dynamic_update_slice(A, S, (row0, 0))
+
+
+def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int,
+                      m: int, slab_rows: int = 65_536):
+    """int8 [n_pad, m] incidence built by DONATED slab scatters
+    (duplicate (entity, feature) pairs collapse, matching
+    ``incidence_dense``). A single whole-table scatter does not alias
+    its operand, so at the Netflix user-KNN shape (480k x 17.8k =
+    8.6 GB) it transiently needs 2x the table and exhausts HBM
+    (measured 2026-08-21); slab updates keep the peak at table + one
+    1.1 GB slab."""
+    eids = np.asarray(entity_ids)
+    fids = np.asarray(feature_ids)
+    lev = np.asarray(levels)
+    if lev.ndim == 0:
+        lev = np.full(eids.shape, lev, np.int8)
+    A = _zeros_int8(n_pad=n_pad, m=m)
+    slab_rows = min(slab_rows, n_pad)
+    sl = eids // slab_rows
+    for s0 in range(0, n_pad, slab_rows):
+        rows = min(slab_rows, n_pad - s0)
+        idx = np.nonzero(sl == s0 // slab_rows)[0]
+        if idx.size == 0:
+            continue
+        # pow2 event capacity bounds recompiles; pads scatter
+        # out-of-bounds and drop
+        cap = 1 << max(int(idx.size) - 1, 0).bit_length()
+        e_rel = np.full(cap, rows, np.int32)
+        f_pad = np.zeros(cap, np.int32)
+        l_pad = np.zeros(cap, lev.dtype)
+        e_rel[:idx.size] = eids[idx] - s0
+        f_pad[:idx.size] = fids[idx]
+        l_pad[:idx.size] = lev[idx]
+        A = _incidence_slab(A, jnp.asarray(e_rel), jnp.asarray(f_pad),
+                            jnp.asarray(l_pad), jnp.int32(s0),
+                            rows=rows, m=m)
+    return A
 
 
 def _merge_topk(vals, ids, tile_vals, tile_ids, k: int):
@@ -221,8 +264,14 @@ def _topk_chunk_binary(A, cnt, w, row_start, alpha, *, kind: str, k: int,
             ov = jnp.dot(A_rw, (A_c.astype(jnp.float32) * w[None, :]).T,
                          preferred_element_type=jnp.float32)
         else:
-            ov = jnp.dot(A_r, A_c.T,
-                         preferred_element_type=jnp.int32).astype(jnp.float32)
+            # convert PER TILE (0/1 exact in bf16; overlap <= m < 2^24
+            # exact in the f32 accumulator): an int8 x int8 -> int32 dot
+            # tempts XLA to hoist a whole-table upcast out of the column
+            # loop, which at the Netflix user-KNN shape materializes a
+            # 34 GB copy of the 8.6 GB incidence (OOM, 2026-08-21)
+            ov = jnp.dot(A_r.astype(jnp.bfloat16),
+                         A_c.astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.float32)
         cnt_c = jax.lax.dynamic_slice(cnt, (col_start,), (C,))
         corr = _map_overlap_values(ov, cnt_r[:, None], cnt_c[None, :],
                                    alpha, kind)
@@ -364,7 +413,14 @@ def binary_correlation_topk(data, num_entities: int, num_features: int,
         w = jnp.asarray(w_host)
     else:
         w = jnp.zeros(m, jnp.float32)
-        cnt = jnp.sum(A, axis=1, dtype=jnp.int32).astype(jnp.float32)
+        # row counts on host (unique pairs, matching the scatter's
+        # duplicate collapse): a device-side sum over the int8 incidence
+        # materializes an upcast copy of the whole table
+        key = np.asarray(data.users, np.int64) * m + \
+            np.asarray(data.items, np.int64)
+        ue = np.unique(key) // m
+        cnt = jnp.asarray(np.bincount(ue, minlength=n_pad)
+                          .astype(np.float32))
 
     def kernel(r0):
         return _topk_chunk_binary(A, cnt, w, r0, jnp.float32(alpha),
