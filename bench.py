@@ -563,13 +563,16 @@ def bench_slim():
     m.feedback = fb
     t0 = time.time()
     m.train()                      # kNN select + compile + 1 iteration
+    import jax.numpy as jnp
+    float(jnp.sum(m.W[0, :8]))     # sync
     print(f"slim prep+compile+1it: {time.time() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.time()
     m.iterate()
-    s = m.predict_batch(fb.users[:8], fb.items[:8])
-    assert np.isfinite(np.asarray(s)).all()
+    float(jnp.sum(m.W[0, :8]))     # device->host sync
     elapsed = time.time() - t0
+    assert np.isfinite(np.asarray(
+        m.predict_batch(fb.users[:8], fb.items[:8]))).all()
     items_per_s = NUM_ITEMS / elapsed
     print(f"SUITE slim_cd_items_per_s {items_per_s:.0f} "
           f"(1 coordinate-descent sweep over {NUM_ITEMS} items "
