@@ -386,17 +386,35 @@ class MatrixFactorization(IncrementalRatingPredictor, IterativeModel,
                 sh2 = NamedSharding(self._mxu_mesh, P("data", None))
                 We = jax.device_put(We, sh2)
                 He = jax.device_put(He, sh2)
-        rates = ps.mxu_column_rates(
-            f, fe, self.current_learnrate, self.reg_u, self.reg_i,
-            getattr(self, "bias_learn_rate", 1.0),
-            getattr(self, "bias_reg", 0.0), self.BIASED,
-            update_user, update_item)
-        hp = np.zeros((1, 8), np.float32)
-        hp[0, :3] = [self.global_bias, self.min_rating,
-                     max(self.max_rating - self.min_rating, 1e-9)]
+        # rates/hp change only with the learn rate (bold driver/decay):
+        # memoize the device arrays so steady-state epochs skip two
+        # host->device transfers (~35 ms each over the axon tunnel)
+        rk = (self.current_learnrate, self.reg_u, self.reg_i,
+              getattr(self, "bias_learn_rate", 1.0),
+              getattr(self, "bias_reg", 0.0), update_user, update_item,
+              self.global_bias, self.min_rating, self.max_rating, f, fe)
+        cached = getattr(self, "_mxu_rates_cache", None)
+        if cached is not None and cached[0] == rk:
+            rates, hp = cached[1], cached[2]
+        else:
+            rates = ps.mxu_column_rates(
+                f, fe, self.current_learnrate, self.reg_u, self.reg_i,
+                getattr(self, "bias_learn_rate", 1.0),
+                getattr(self, "bias_reg", 0.0), self.BIASED,
+                update_user, update_item)
+            hp_host = np.zeros((1, 8), np.float32)
+            hp_host[0, :3] = [self.global_bias, self.min_rating,
+                              max(self.max_rating - self.min_rating,
+                                  1e-9)]
+            hp = jnp.asarray(hp_host)
+            self._mxu_rates_cache = (rk, rates, hp)
         self._epoch_counter = getattr(self, "_epoch_counter", 0) + 1
-        order = plan.epoch_order(
-            (self.random_seed + 1) * 1_000_003 + self._epoch_counter)
+        seed = (self.random_seed + 1) * 1_000_003 + self._epoch_counter
+        if type(plan) is ps.MxuPlan:
+            # resident plan: order generated ON DEVICE (one dispatch)
+            order = ps.device_epoch_order(plan, seed)
+        else:
+            order = plan.epoch_order(seed)
         if isinstance(plan, ps.MxuShardedPlan):
             from jax.sharding import NamedSharding, PartitionSpec as P
             mesh = self._mxu_mesh
