@@ -455,13 +455,26 @@ class BPRMF(ItemMF, FoldInItemRecommender):
                 soft_margin=self.SOFT_MARGIN, wbpr=self.MXU_POPULARITY,
                 mxu_dtype=self.mxu_dtype, interpret=self._bpr_interpret)
         elif tl is not None:
-            order = pb.bpr_tiled_epoch_order(
-                plan, self._bpr_neg_state["nvalid"], tl["slab_items"],
-                slab_blocks=tl["slab_blocks"], num_slabs=tl["num_slabs"],
-                num_passes=tl["num_passes"], pass_len=tl["pass_len"],
-                num_items=num_items, seed=seed,
-                block_mass=(self._bpr_neg_state["block_mass"]
-                            if self.MXU_POPULARITY else None))
+            if self._bpr_interpret:
+                # interpret mode needs host-computed refetch flags
+                # (input_output_aliases are not simulated)
+                order = pb.bpr_tiled_epoch_order(
+                    plan, self._bpr_neg_state["nvalid"],
+                    tl["slab_items"], slab_blocks=tl["slab_blocks"],
+                    num_slabs=tl["num_slabs"],
+                    num_passes=tl["num_passes"], pass_len=tl["pass_len"],
+                    num_items=num_items, seed=seed,
+                    block_mass=(self._bpr_neg_state["block_mass"]
+                                if self.MXU_POPULARITY else None))
+            else:
+                # real TPU: the whole per-epoch schedule is built
+                # on-device (one fused dispatch — the host argsort +
+                # transfers measured ~0.2 s/epoch at the KDD shape)
+                order = pb.device_bpr_tiled_epoch_order(
+                    plan, tl, self._bpr_neg_state["nvalid"],
+                    num_items=num_items, seed=seed,
+                    block_mass=(self._bpr_neg_state["block_mass"]
+                                if self.MXU_POPULARITY else None))
             bits = pb.epoch_random_bits(
                 k_bits, nc=tl["num_passes"] * tl["pass_len"],
                 trials=trials, C=plan.chunk).reshape(

@@ -863,6 +863,119 @@ def _slab_refetch_flags(isl2d: np.ndarray, jsl2d: np.ndarray) -> np.ndarray:
     return flags
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "B", "n_ib", "n_ub", "npass", "P",
+                     "num_items", "wbpr"))
+def _device_bpr_tiled_order(ub_c, ib_c, nvalid_d, slab_items_d, slab_cdf,
+                            block_cdf, key, *, S: int, B: int, n_ib: int,
+                            n_ub: int, npass: int, P: int, num_items: int,
+                            wbpr: bool):
+    """Device-side bpr_tiled_epoch_order: the whole per-epoch schedule —
+    negative slab per (isl, ublock) group, negative block per chunk,
+    (isl, jsl, ub)-sort with exact-uniform in-cell shuffle (two-stage
+    sort: argsort random keys, then STABLE argsort of integer cell
+    ids), pad — as ONE fused dispatch. This removes the measured
+    ~0.2 s/epoch of host-side numpy argsort/choice + eight
+    host->device transfers that held the big-catalog model path at
+    23.5M triples/s vs the 41.4M raw-kernel ceiling (VERDICT r4 #2).
+
+    Sampling semantics match the host path: P(jsl) = slab_items/I (or
+    slab mass for WBPR), P(jbr | jsl) uniform-by-count via mod
+    alignment (or block mass within the slab for WBPR) — the draws use
+    f32 uniforms instead of the host's float64, an O(2^-24) quantization
+    of the same marginals. Refetch-source flags are ZERO (real-TPU
+    only: in/out refs alias, so fetch-source selection is a no-op;
+    interpret runs keep the host path — see
+    pallas_sgd._device_tiled_order)."""
+    nc = ub_c.shape[0]
+    isl_c = ib_c // B
+    ibr_c = ib_c - isl_c * B
+    k1, k2, k3 = jax.random.split(key, 3)
+    ngroups = S * n_ub
+    if wbpr:
+        u_g = jax.random.uniform(k1, (ngroups,), dtype=jnp.float32)
+        jsl_g = jnp.minimum(
+            jnp.sum((slab_cdf[None, :] < u_g[:, None]).astype(jnp.int32),
+                    axis=1), S - 1)
+    else:
+        r_g = jax.random.randint(k1, (ngroups,), 0, max(num_items, 1))
+        jsl_g = (r_g % n_ib) // B
+    gid = isl_c * n_ub + ub_c
+    jsl_c = jsl_g[gid]
+    nbo = jnp.minimum((jsl_c + 1) * B, n_ib) - jsl_c * B
+    u2 = jax.random.uniform(k2, (nc,), dtype=jnp.float32)
+    if wbpr:
+        crow = block_cdf[jsl_c]                        # [nc, B]
+        jbr_c = jnp.minimum(
+            jnp.sum((crow < u2[:, None]).astype(jnp.int32), axis=1),
+            nbo - 1)
+    else:
+        si = jnp.maximum(slab_items_d[jsl_c], 1)
+        r2 = jnp.minimum((u2 * si.astype(jnp.float32)).astype(jnp.int32),
+                         si - 1)
+        jbr_c = r2 % nbo
+    jb_c = jsl_c * B + jbr_c
+    nval_c = jnp.maximum(nvalid_d[jb_c], 1)
+    bkt_c = ub_c * n_ib + jb_c
+    r = jax.random.uniform(k3, (nc,), dtype=jnp.float32)
+    p1 = jnp.argsort(r)
+    cell = (isl_c * S + jsl_c) * n_ub + ub_c
+    p2 = jnp.argsort(cell[p1], stable=True)
+    perm = p1[p2].astype(jnp.int32)
+    tot = npass * P
+    idx = jnp.minimum(jnp.arange(tot), nc - 1)
+
+    def pad(a):
+        return a[perm][idx].reshape(npass, P)
+
+    row = jnp.where(jnp.arange(tot) < nc, perm[idx],
+                    nc).astype(jnp.int32).reshape(npass, P)
+    src = jnp.zeros((npass, P), jnp.int32)
+    return (pad(ub_c), pad(ibr_c), pad(isl_c), pad(jb_c), pad(jbr_c),
+            pad(jsl_c), pad(nval_c), pad(bkt_c), row, src)
+
+
+def device_bpr_tiled_epoch_order(plan: MxuPlan, tl: dict, nvalid,
+                                 *, num_items: int, seed: int,
+                                 block_mass=None):
+    """bpr_tiled_epoch_order computed on device (real-TPU path only;
+    interpret mode needs the host refetch flags). ``tl`` is the model
+    layer's tiled-state dict — device-resident copies of the static
+    schedule columns are cached in it."""
+    dev = tl.get("_dev_order_state")
+    if dev is None:
+        B = min(tl["slab_blocks"], plan.n_iblocks)
+        S = tl["num_slabs"]
+        if block_mass is not None:
+            pm = np.concatenate([np.asarray(block_mass, np.float64),
+                                 np.zeros(S * B - plan.n_iblocks)])
+            blk = pm.reshape(S, B)
+            sm = blk.sum(axis=1)
+            slab_cdf = jnp.asarray(
+                (np.cumsum(sm) / max(sm.sum(), 1e-300)).astype(np.float32))
+            denom = np.maximum(sm, 1e-300)[:, None]
+            block_cdf = jnp.asarray(
+                np.cumsum(blk, axis=1) / denom, dtype=jnp.float32)
+        else:
+            slab_cdf = jnp.zeros(1, jnp.float32)
+            block_cdf = jnp.zeros((1, 1), jnp.float32)
+        dev = dict(
+            ub=jnp.asarray(plan.ub_c), ib=jnp.asarray(plan.ib_c),
+            nvalid=jnp.asarray(np.asarray(nvalid, np.int32)),
+            slab_items=jnp.asarray(
+                np.asarray(tl["slab_items"], np.int64).astype(np.int32)),
+            slab_cdf=slab_cdf, block_cdf=block_cdf, B=B)
+        tl["_dev_order_state"] = dev
+    key = jax.random.key(int(seed) & 0x7FFFFFFF, impl="unsafe_rbg")
+    return _device_bpr_tiled_order(
+        dev["ub"], dev["ib"], dev["nvalid"], dev["slab_items"],
+        dev["slab_cdf"], dev["block_cdf"], key,
+        S=tl["num_slabs"], B=dev["B"], n_ib=plan.n_iblocks,
+        n_ub=plan.n_ublocks, npass=tl["num_passes"], P=tl["pass_len"],
+        num_items=num_items, wbpr=block_mass is not None)
+
+
 def _mxu_bpr_tiled_kernel(ub_ref, ib_ref, isl_ref, jb_ref, jbr_ref,
                           jsl_ref, nval_ref, bkt_ref, row_ref, src_ref,
                           w_hbm, h_hbm, data_ref, jkeys_ref, cdf_ref,
