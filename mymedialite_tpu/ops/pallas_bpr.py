@@ -1237,17 +1237,13 @@ def bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
         interpret=interpret)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("meta", "num_slabs", "soft_margin", "wbpr",
-                     "subkeys", "mxu_dtype", "interpret"),
-    donate_argnames=("W_ext", "H_ext"))
-def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
-                         order, rates, *, meta, num_slabs: int,
-                         soft_margin: bool, wbpr: bool, subkeys: bool,
-                         mxu_dtype: str, interpret: bool):
+def _bpr_tiled_pallas_call(*, meta, num_slabs: int, soft_margin: bool,
+                           wbpr: bool, subkeys: bool, dt,
+                           interpret: bool):
+    """The tiled-BPR pallas_call (one pass over a flat slab-major
+    schedule) — shared by the single-device scan-over-passes epoch and
+    the per-(device, sub-epoch) calls of the sharded+tiled epoch."""
     P, C, UB, IB, n_ub, slab_rows, fe, Kcap, trials = meta
-    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
 
     kernel = functools.partial(
         _mxu_bpr_tiled_kernel, soft_margin=soft_margin, C=C, UB=UB,
@@ -1296,7 +1292,7 @@ def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
         ],
     )
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -1309,6 +1305,23 @@ def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
         input_output_aliases={10: 0, 11: 1},
         interpret=interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("meta", "num_slabs", "soft_margin", "wbpr",
+                     "subkeys", "mxu_dtype", "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def _bpr_epoch_mxu_tiled(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+                         order, rates, *, meta, num_slabs: int,
+                         soft_margin: bool, wbpr: bool, subkeys: bool,
+                         mxu_dtype: str, interpret: bool):
+    P, C, UB, IB, n_ub, slab_rows, fe, Kcap, trials = meta
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+
+    call = _bpr_tiled_pallas_call(
+        meta=meta, num_slabs=num_slabs, soft_margin=soft_margin,
+        wbpr=wbpr, subkeys=subkeys, dt=dt, interpret=interpret)
 
     def body(carry, xs):
         W, H = carry
@@ -1592,3 +1605,343 @@ def bpr_epoch_mxu_sharded_jit(mesh, W_ext, H_ext, data, jkeys, cdf_tbl,
         (ub, ib, jb, jbg, nval, bkt, row), rates, meta=meta,
         soft_margin=soft_margin, wbpr=wbpr, mxu_dtype=mxu_dtype,
         interpret=interpret, bm_tbl=bm_tbl if use_bitmask else None)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded + slab-tiled variant: big catalogs on a mesh
+# ---------------------------------------------------------------------------
+#
+# The BPR half of the r4 mesh x big-catalog cliff (VERDICT r4 missing
+# #1; SGD half in pallas_sgd.py): the resident sharded epoch requires
+# the per-device item PARTITION in VMEM, so KDD-scale catalogs on a
+# mesh fell back to the ~3x XLA epoch. Composition: the DSGD diagonal
+# schedule (user blocks partition over devices, item partitions rotate
+# via ppermute — the reference parallelizes BPR the same way,
+# MultiCoreBPRMF.cs:30) with the flat slab-tiled fused-sampling kernel
+# per device (partition in device HBM; positive slab + negative slab +
+# user block streamed through VMEM by in-kernel blocking DMA).
+#
+# Negative sampling composes both restrictions: the negative must live
+# in the device's RESIDENT PARTITION (sharded constraint — i- and
+# j-updates touch the partition only) and within it one negative SLAB
+# is drawn per (pos-slab, ublock) group (tiled constraint). The draw is
+# jsl ~ P(slab | partition) = slab_items / items_p, then per chunk
+# jb | jsl uniform-by-count via the mod alignment (round-robin packing:
+# the +1-item blocks form a global prefix, hence a prefix of every
+# contiguous partition and of every slab within it). The product
+# marginal P(b | partition) = nvalid_b / items_p is EXACTLY the
+# resident sharded kernel's validated within-partition marginal;
+# group-level slab sharing adds variance, not bias (same argument as
+# the single-device tiled epoch above).
+
+
+@dataclass
+class BprShardedTiledPlan:
+    """Host-side layout for the mesh-sharded slab-tiled BPR epoch."""
+    num_devices: int
+    nc_pad: int               # per-(device, sub-epoch) grid size
+    chunk: int
+    user_block: int
+    item_block: int
+    ub_per_dev: int
+    part_blocks: int          # item blocks per partition (multiple of
+    slab_blocks: int          # slab_blocks)
+    n_ublocks: int
+    n_iblocks: int
+    num_users: int
+    num_items: int
+    n_ratings: int
+    # [nc + 1, 4, C]: all real chunks + one all-zero pad chunk
+    packed: jnp.ndarray = field(repr=False)
+    ub_c: np.ndarray = field(repr=False)
+    ib_c: np.ndarray = field(repr=False)
+    cells: list = field(repr=False)          # [d][k] -> chunk rows
+    new_of_old: np.ndarray = field(repr=False)
+    old_of_new: np.ndarray = field(repr=False)
+
+    @property
+    def u_pad_dev(self) -> int:
+        return self.ub_per_dev * self.user_block
+
+    @property
+    def u_pad(self) -> int:
+        return self.num_devices * self.u_pad_dev
+
+    @property
+    def part_rows(self) -> int:
+        return self.part_blocks * self.item_block
+
+    @property
+    def i_pad(self) -> int:
+        return self.num_devices * self.part_rows
+
+    @property
+    def slab_rows(self) -> int:
+        return self.slab_blocks * self.item_block
+
+    @property
+    def slabs_per_part(self) -> int:
+        return self.part_blocks // self.slab_blocks
+
+    def meta(self, fe: int) -> tuple:
+        # per-(device, sub-epoch) tiled-call geometry; Kcap/trials
+        # appended by the caller (_bpr_tiled_pallas_call contract)
+        return (self.nc_pad, self.chunk, self.user_block,
+                self.item_block, self.ub_per_dev, self.slab_rows, fe)
+
+    def epoch_order(self, nvalid: np.ndarray, seed, block_mass=None):
+        """[D, D, nc_pad] arrays (ub_rel, ibr, isl_rel, jb, jbr,
+        jsl_rel, nval, bkt, row, src): axis 0 = device, axis 1 =
+        sub-epoch. ub_rel device-relative; isl_rel/jsl_rel
+        partition-relative slabs; ibr/jbr slab-relative blocks; jb the
+        GLOBAL negative block id (cdf row / keys bucket). Negative
+        slab per (isl, ublock) group within the resident partition
+        (see section comment); WBPR (block_mass given) draws slab and
+        block by popularity mass within the partition. Chunks sorted
+        (isl, jsl, ub) within a cell with in-cell shuffle; pads repeat
+        the last real residency ids and point at the all-zero pad
+        chunk."""
+        D, nc_pad = self.num_devices, self.nc_pad
+        B = self.slab_blocks
+        PB, n_ib = self.part_blocks, self.n_iblocks
+        SP = self.slabs_per_part
+        zero_row = self.packed.shape[0] - 1
+        rng = np.random.default_rng(seed)
+        shp = (D, D, nc_pad)
+        ub = np.zeros(shp, np.int32)
+        ibr = np.zeros(shp, np.int32)
+        isl = np.zeros(shp, np.int32)
+        jb = np.zeros(shp, np.int32)
+        jbr = np.zeros(shp, np.int32)
+        jsl = np.zeros(shp, np.int32)
+        nval = np.ones(shp, np.int32)
+        bkt = np.zeros(shp, np.int32)
+        row = np.full(shp, zero_row, np.int32)
+        for d in range(D):
+            for k in range(D):
+                rows = self.cells[d][k]
+                if rows.size == 0:
+                    continue
+                p = (d + k) % D
+                lo = p * PB
+                hi = min(lo + PB, n_ib)
+                n = rows.size
+                ib_rel = self.ib_c[rows] - lo
+                sl = ib_rel // B
+                # one negative slab per (isl, ublock) group, within
+                # the partition's slabs
+                gid = sl.astype(np.int64) * self.n_ublocks \
+                    + self.ub_c[rows]
+                uniq, inv = np.unique(gid, return_inverse=True)
+                # per-slab item counts within this partition
+                pad_b = np.zeros(SP * B - (hi - lo), np.int64)
+                nv_p = np.concatenate(
+                    [nvalid[lo:hi].astype(np.int64), pad_b])
+                if block_mass is not None:
+                    m_p = np.concatenate(
+                        [np.asarray(block_mass[lo:hi], np.float64),
+                         pad_b.astype(np.float64)])
+                    sm = m_p.reshape(SP, B).sum(axis=1)
+                    tot = sm.sum()
+                    jsl_g = (rng.choice(SP, size=uniq.size, p=sm / tot)
+                             .astype(np.int32) if tot > 0
+                             else np.zeros(uniq.size, np.int32))
+                else:
+                    sl_items = nv_p.reshape(SP, B).sum(axis=1)
+                    items_p = max(int(sl_items.sum()), 1)
+                    rr = rng.integers(0, items_p, uniq.size)
+                    # uniform item -> slab by count: the round-robin
+                    # prefix alignment holds within the partition
+                    nb_p = max(hi - lo, 1)
+                    jsl_g = (((rr % nb_p)) // B).astype(np.int32)
+                jsl_cell = jsl_g[inv]
+                # per-chunk negative block within the group's slab
+                nb_of = (np.minimum((jsl_cell + 1) * B, hi - lo)
+                         - jsl_cell * B)
+                nb_of = np.maximum(nb_of, 1)
+                if block_mass is not None:
+                    jl = np.zeros(n, np.int32)
+                    for s in np.unique(jsl_cell):
+                        sel = np.nonzero(jsl_cell == s)[0]
+                        l2 = lo + s * B
+                        h2 = min(l2 + B, hi)
+                        m = np.asarray(block_mass[l2:h2], np.float64)
+                        tot = m.sum()
+                        if tot > 0:
+                            jl[sel] = rng.choice(
+                                h2 - l2, size=sel.size,
+                                p=m / tot).astype(np.int32)
+                else:
+                    si = np.maximum(
+                        nv_p.reshape(SP, B).sum(axis=1)[jsl_cell], 1)
+                    r2 = (rng.random(n) * si).astype(np.int64)
+                    jl = (r2 % nb_of).astype(np.int32)
+                jb_cell = (lo + jsl_cell * B + jl).astype(np.int32)
+                # sort (isl, jsl, ub) with in-cell shuffle
+                key = (sl.astype(np.float64)
+                       * (2.0 * SP * self.n_ublocks)
+                       + jsl_cell * (2.0 * self.n_ublocks)
+                       + self.ub_c[rows] * 2.0 + rng.random(n))
+                perm = np.argsort(key, kind="stable")
+                r = rows[perm]
+                ub[d, k, :n] = self.ub_c[r] - d * self.ub_per_dev
+                isl[d, k, :n] = sl[perm]
+                ibr[d, k, :n] = ib_rel[perm] - sl[perm] * B
+                jsl[d, k, :n] = jsl_cell[perm]
+                jbr[d, k, :n] = jl[perm]
+                jb[d, k, :n] = jb_cell[perm]
+                nval[d, k, :n] = np.maximum(nvalid[jb_cell[perm]], 1)
+                bkt[d, k, :n] = (self.ub_c[r].astype(np.int64) * n_ib
+                                 + jb_cell[perm]).astype(np.int32)
+                row[d, k, :n] = r
+                for a in (ub, isl, ibr, jsl, jbr, jb, nval, bkt):
+                    a[d, k, n:] = a[d, k, n - 1]
+        from mymedialite_tpu.ops.pallas_sgd import refetch_flags
+        flat = (D * D, nc_pad)
+        src = (refetch_flags(ub.reshape(flat), 1)
+               | _slab_refetch_flags(isl.reshape(flat),
+                                     jsl.reshape(flat))).reshape(shp)
+        return tuple(jnp.asarray(a) for a in
+                     (ub, ibr, isl, jb, jbr, jsl, nval, bkt, row,
+                      src.astype(np.int32)))
+
+
+def prepare_bpr_mxu_sharded_tiled(feedback, num_devices: int, *,
+                                  uniform_user: bool,
+                                  user_block: int = 512,
+                                  item_block: int = 1024, chunk=None,
+                                  slab_blocks: int = 8,
+                                  shuffle_seed=0,
+                                  num_neg_trials: int = 8,
+                                  chunk_overhead: int = 256,
+                                  ksub_cap: int = 256):
+    """prepare_bpr_mxu (sub-bucketed membership keys — the tiled
+    kernel's sampler) + regroup chunks into DSGD (device x sub-epoch)
+    diagonal cells whose item partitions tile into VMEM-size slabs.
+    Returns (plan, neg_state, neg_meta); the subkeys/cdf tables are
+    global and replicate across the mesh."""
+    D = num_devices
+    plan, neg_state, neg_meta = prepare_bpr_mxu(
+        feedback, uniform_user=uniform_user, user_block=user_block,
+        item_block=item_block, chunk=chunk, shuffle_seed=shuffle_seed,
+        num_neg_trials=num_neg_trials, kcap=128, subkeys=True,
+        ksub_cap=ksub_cap, bitmask=False,
+        chunk_overhead=chunk_overhead)
+    ub_per_dev = max((plan.n_ublocks + D - 1) // D, 1)
+    raw_pb = max((plan.n_iblocks + D - 1) // D, 1)
+    B = max(min(slab_blocks, raw_pb), 1)
+    part_blocks = _round_up(raw_pb, B)
+    dev_of = plan.ub_c // ub_per_dev
+    part_of = plan.ib_c // part_blocks
+    cells = []
+    nc_pad = 1
+    for d in range(D):
+        per_k = []
+        for k in range(D):
+            p = (d + k) % D
+            rows = np.nonzero((dev_of == d) & (part_of == p))[0]
+            nc_pad = max(nc_pad, rows.size)
+            per_k.append(rows)
+        cells.append(per_k)
+    zero = jnp.zeros((1,) + tuple(plan.packed.shape[1:]), jnp.int32)
+    sharded = BprShardedTiledPlan(
+        num_devices=D, nc_pad=nc_pad, chunk=plan.chunk,
+        user_block=plan.user_block, item_block=plan.item_block,
+        ub_per_dev=ub_per_dev, part_blocks=part_blocks, slab_blocks=B,
+        n_ublocks=plan.n_ublocks, n_iblocks=plan.n_iblocks,
+        num_users=plan.num_users, num_items=plan.num_items,
+        n_ratings=plan.n_ratings,
+        packed=jnp.concatenate([plan.packed, zero]),
+        ub_c=plan.ub_c, ib_c=plan.ib_c, cells=cells,
+        new_of_old=plan.new_of_old, old_of_new=plan.old_of_new)
+    return sharded, neg_state, neg_meta
+
+
+def bpr_epoch_mxu_sharded_tiled(mesh, W_ext, H_ext, data, jkeys,
+                                cdf_tbl, rand_bits, order, rates, *,
+                                meta, slabs_per_part: int,
+                                soft_margin: bool = False,
+                                wbpr: bool = False,
+                                mxu_dtype: str = "bf16",
+                                interpret: bool = False):
+    """One DSGD BPR epoch over the mesh with slab-tiled partitions: D
+    sub-epochs, each a per-device TILED fused-sampling kernel pass over
+    (device users) x (rotating item partition in device HBM, streamed
+    through VMEM slab by slab); partitions ring-shift via ppermute.
+
+    W_ext [plan.u_pad, fe] row-sharded; H_ext [plan.i_pad, fe]
+    row-sharded; data/jkeys/cdf_tbl replicated; rand_bits
+    [D, D, nc_pad, trials, C] sharded on axis 0; order =
+    plan.epoch_order(nvalid, seed) ([D, D, nc_pad] arrays, sharded on
+    axis 0); meta = plan.meta(fe) + (Ksub, trials).
+
+    Returns (W_ext, H_ext, neg_dbg [D, D, nc_pad, 2, C])."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    dt = jnp.bfloat16 if mxu_dtype == "bf16" else jnp.float32
+    ring = [((i + 1) % D, i) for i in range(D)]
+
+    call = _bpr_tiled_pallas_call(
+        meta=meta, num_slabs=slabs_per_part, soft_margin=soft_margin,
+        wbpr=wbpr, subkeys=True, dt=dt, interpret=interpret)
+
+    def device_fn(W_loc, H_part, data_full, jkeys_f, cdf_f, bits_d,
+                  ub_d, ib_d, isl_d, jb_d, jbr_d, jsl_d, nval_d, bkt_d,
+                  row_d, src_d, rt):
+        def sub(carry, xs):
+            Wt, Ht = carry
+            (ub_k, ib_k, isl_k, jb_k, jbr_k, jsl_k, nval_k, bkt_k,
+             row_k, src_k, bits_k) = xs
+            Wt, Ht, neg = call(ub_k, ib_k, isl_k, jb_k, jbr_k, jsl_k,
+                               nval_k, bkt_k, row_k, src_k, Wt, Ht,
+                               data_full, jkeys_f, cdf_f, bits_k, rt)
+            Ht = jax.lax.ppermute(Ht, axis, ring)
+            return (Wt, Ht), neg
+
+        (Wt, Ht), negs = jax.lax.scan(
+            sub, (W_loc.T, H_part.T),
+            (ub_d[0], ib_d[0], isl_d[0], jb_d[0], jbr_d[0], jsl_d[0],
+             nval_d[0], bkt_d[0], row_d[0], src_d[0], bits_d[0]))
+        return Wt.T, Ht.T, negs[None]
+
+    fn = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P(),
+                  P(axis, None, None, None, None))
+        + (P(axis, None, None),) * 10 + (P(),),
+        out_specs=(P(axis, None), P(axis, None),
+                   P(axis, None, None, None, None)),
+        # pallas out_shapes carry no vma annotations; correctness is by
+        # construction (disjoint diagonal cells) and tested vs the
+        # sequential-cell oracle
+        check_vma=False)
+    (ub, ibr, isl, jb, jbr, jsl, nval, bkt, row, src) = order
+    return fn(W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+              ub, ibr, isl, jb, jbr, jsl, nval, bkt, row, src, rates)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "meta", "slabs_per_part", "soft_margin",
+                     "wbpr", "mxu_dtype", "interpret"),
+    donate_argnames=("W_ext", "H_ext"))
+def bpr_epoch_mxu_sharded_tiled_jit(mesh, W_ext, H_ext, data, jkeys,
+                                    cdf_tbl, rand_bits, ub, ibr, isl,
+                                    jb, jbr, jsl, nval, bkt, row, src,
+                                    rates, *, meta,
+                                    slabs_per_part: int,
+                                    soft_margin: bool = False,
+                                    wbpr: bool = False,
+                                    mxu_dtype: str = "bf16",
+                                    interpret: bool = False):
+    """Cached-jit entry for the model layer (one compile per mesh+meta;
+    per-epoch calls re-dispatch)."""
+    return bpr_epoch_mxu_sharded_tiled(
+        mesh, W_ext, H_ext, data, jkeys, cdf_tbl, rand_bits,
+        (ub, ibr, isl, jb, jbr, jsl, nval, bkt, row, src), rates,
+        meta=meta, slabs_per_part=slabs_per_part,
+        soft_margin=soft_margin, wbpr=wbpr, mxu_dtype=mxu_dtype,
+        interpret=interpret)
