@@ -676,8 +676,97 @@ def bench_rank_tiled():
     return users_per_s
 
 
+def bench_end_to_end():
+    """End-to-end time-to-train (VERDICT r4 #4): BiasedMF k=40,
+    num_iter=30 at the Netflix shape through model.train() — plan prep
+    (native bucketizer) + compile + 30 epochs — plus the device-resident
+    1.4M-pair eval, vs the reference protocol's 30 x 241.57 s training
+    + 0.45 s eval (doc/Performance:1-6). Reports the phase split so the
+    headline is not epoch-time-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.data.arrays import RatingData
+    from mymedialite_tpu.eval.rating import evaluate_ratings
+    from mymedialite_tpu.models.mf import BiasedMatrixFactorization
+
+    if jax.default_backend() != "tpu":
+        print("SUITE end_to_end skipped (needs TPU)", file=sys.stderr)
+        return None
+    rng = np.random.default_rng(12)
+    users = rng.integers(0, NUM_USERS, NUM_RATINGS).astype(np.int32)
+    items = rng.integers(0, NUM_ITEMS, NUM_RATINGS).astype(np.int32)
+    values = rng.uniform(1.0, 5.0, NUM_RATINGS).astype(np.float32)
+    probe_n = 1_408_395                  # the Netflix probe size
+    probe = RatingData(
+        rng.integers(0, NUM_USERS, probe_n).astype(np.int32),
+        rng.integers(0, NUM_ITEMS, probe_n).astype(np.int32),
+        rng.uniform(1, 5, probe_n).astype(np.float32),
+        num_users=NUM_USERS, num_items=NUM_ITEMS)
+
+    m = BiasedMatrixFactorization()
+    m.num_factors = NUM_FACTORS
+    m.num_iter = 30
+    m.ratings = RatingData(users, items, values, num_users=NUM_USERS,
+                           num_items=NUM_ITEMS)
+    t0 = time.time()
+    m.init_model()                       # plan build (native bucketizer)
+    t_prep = time.time() - t0
+    t0 = time.time()
+    m.iterate()
+    tabs = getattr(m, "_mxu_tables", None)
+    if tabs is not None:
+        float(jnp.sum(tabs[0][0]))       # sync without materializing
+    t_compile = time.time() - t0
+    t0 = time.time()
+    for _ in range(m.num_iter - 1):
+        m.iterate()
+    tabs = getattr(m, "_mxu_tables", None)
+    if tabs is not None:
+        float(jnp.sum(tabs[0][0]))
+    t_epochs = time.time() - t0
+    t0 = time.time()
+    res = evaluate_ratings(m, probe)     # materializes params + eval
+    t_eval = time.time() - t0
+    total = t_prep + t_compile + t_epochs + t_eval
+    ref_total = 30 * 241.57 + 0.45
+    print(f"SUITE end_to_end_seconds {total:.1f} "
+          f"(prep {t_prep:.1f} + compile+1ep {t_compile:.1f} + 29ep "
+          f"{t_epochs:.1f} + eval {t_eval:.1f}; RMSE {res['RMSE']:.4f}; "
+          f"vs reference 30x241.57s+0.45s = {ref_total:.0f}s -> "
+          f"{ref_total / total:.0f}x)", file=sys.stderr)
+    return total
+
+
+def run_tpu_smoke():
+    """Run the on-TPU kernel smoke tier as part of the bench flow so
+    every round's artifacts record it (VERDICT r4 #7). Appends a line
+    to SMOKE.txt next to this file."""
+    import subprocess
+    env = dict(os.environ, MML_TPU_SMOKE="1")
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_smoke.py",
+         "-q", "--no-header"],
+        capture_output=True, text=True, timeout=3600, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    tail = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+    line = (f"{time.strftime('%Y-%m-%d %H:%M:%S')} rc={r.returncode} "
+            f"{tail} ({time.time() - t0:.0f}s)")
+    print(f"SMOKE {line}", file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SMOKE.txt"), "a") as f:
+        f.write(line + "\n")
+    return r.returncode == 0
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_SMOKE", "1") != "0":
+        try:
+            run_tpu_smoke()
+        except Exception as e:  # smoke must never kill the bench line
+            print(f"SMOKE failed to run: {e}", file=sys.stderr)
     if os.environ.get("BENCH_SUITE"):
         bench_bpr_mxu()
         bench_bpr()
@@ -690,3 +779,4 @@ if __name__ == "__main__":
         bench_svdpp()
         bench_knn_corr()
         bench_slim()
+        bench_end_to_end()

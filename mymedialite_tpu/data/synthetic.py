@@ -18,8 +18,17 @@ from mymedialite_tpu.data.arrays import PosOnlyData, RatingData
 def synthetic_ratings(num_users: int = 943, num_items: int = 1682,
                       num_ratings: int = 100_000, rank: int = 8,
                       noise: float = 0.6, seed: int = 42,
-                      with_times: bool = False) -> RatingData:
-    """Low-rank-plus-biases rating generator on a 1..5 scale."""
+                      with_times: bool = False,
+                      time_drift: float = 0.0,
+                      return_factors: bool = False):
+    """Low-rank-plus-biases rating generator on a 1..5 scale.
+
+    ``time_drift`` > 0 (with ``with_times``) adds a per-item linear
+    temporal drift of that magnitude to the true score — gives the
+    time-aware baselines (Koren 2009 temporal dynamics) real signal to
+    model. ``return_factors`` additionally returns the planted
+    (P, Q, b_u, b_i) — used e.g. to derive a factor-consistent social
+    trust graph for SocialMF quality rows."""
     rng = np.random.default_rng(seed)
     # popularity: Zipf-ish item distribution, log-normal user activity
     item_p = 1.0 / np.arange(1, num_items + 1) ** 0.8
@@ -41,12 +50,19 @@ def synthetic_ratings(num_users: int = 943, num_items: int = 1682,
     bi = rng.normal(0, 0.35, num_items)
     raw = 3.6 + bu[users] + bi[items] + np.einsum(
         "nf,nf->n", P[users], Q[items]) * 1.2 + rng.normal(0, noise, n)
-    values = np.clip(np.round(raw * 2) / 2, 1.0, 5.0)  # half-star scale
     times = None
     if with_times:
         times = rng.integers(880_000_000, 893_000_000, n)
-    return RatingData(users, items, values, num_users=num_users,
+        if time_drift:
+            d_i = rng.normal(0, 1.0, num_items)
+            t_norm = (times - 880_000_000) / 13_000_000.0
+            raw = raw + time_drift * (t_norm - 0.5) * d_i[items]
+    values = np.clip(np.round(raw * 2) / 2, 1.0, 5.0)  # half-star scale
+    data = RatingData(users, items, values, num_users=num_users,
                       num_items=num_items, times=times)
+    if return_factors:
+        return data, (P, Q, bu, bi)
+    return data
 
 
 def synthetic_posonly(num_users: int = 943, num_items: int = 1682,

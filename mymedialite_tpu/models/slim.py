@@ -118,11 +118,20 @@ class LeastSquareSLIM(_SLIM):
         self.reg_l1 = 0.01
         self.reg_l2 = 0.001
         self.k = 50
+        # Jacobi damping: the reference's per-coordinate cyclic descent
+        # (Gauss-Seidel) converges, but the all-coordinates-at-once
+        # Jacobi sweep OSCILLATES undamped (measured period-2 AUC
+        # 0.81/0.23 at an ML-small shape); 0.5 averaging restores stable
+        # convergence while keeping the sweep a single MXU matmul
+        self.damping = 0.5
 
     def init_model(self):
-        # W starts at N(mean, std) like the base, but the sweep overwrites
-        # every unmasked coordinate anyway
-        super().init_model()
+        # W starts at ZERO like the reference (SLIM.cs InitModel
+        # allocates a zero Matrix<float>): the first sweep then yields
+        # the soft-thresholded co-occurrence weights — a strong,
+        # deterministic warm start; random init leaves Jacobi noise
+        I = self.feedback.num_items
+        self.W = jnp.zeros((I, I), dtype=jnp.float32)
         self._build_epoch_state()
 
     def _ensure_epoch_ready(self):
@@ -175,10 +184,12 @@ class LeastSquareSLIM(_SLIM):
 
     def iterate(self):
         self._ensure_epoch_ready()
-        self.W = _ls_slim_sweep(self.W, self._C, self._cj, self._mask,
-                                jnp.float32(self._num_users),
-                                jnp.float32(self.reg_l1),
-                                jnp.float32(self.reg_l2))
+        new_w = _ls_slim_sweep(self.W, self._C, self._cj, self._mask,
+                               jnp.float32(self._num_users),
+                               jnp.float32(self.reg_l1),
+                               jnp.float32(self.reg_l2))
+        d = jnp.float32(self.damping)
+        self.W = (1.0 - d) * self.W + d * new_w
 
 
 import functools as _functools  # noqa: E402

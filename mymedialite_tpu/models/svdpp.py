@@ -242,7 +242,10 @@ class SVDPlusPlus(IncrementalRatingPredictor, IterativeModel):
                 self._svdpp_plan = psv.prepare_svdpp_mxu(
                     self.ratings.users, self.ratings.items,
                     self.ratings.values, hu, hi, U, I,
-                    shuffle_seed=self.random_seed)
+                    shuffle_seed=self.random_seed,
+                    # real TPU: transposed tables slice the lane dim,
+                    # which Mosaic requires to be 128-aligned
+                    block_align=8 if mode == "interpret" else 128)
                 self._svdpp_interpret = mode == "interpret"
                 self._svdpp_new_of_old = jnp.asarray(
                     self._svdpp_plan.new_of_old)

@@ -138,7 +138,7 @@ def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
                      user_block: int = 512, item_block: int = 1024,
                      chunk=256, shuffle_seed=0,
                      chunk_overhead: int = 0,
-                     item_perm=None) -> MxuPlan:
+                     item_perm=None, block_align: int = 8) -> MxuPlan:
     """Bucket the rating stream by (user_block x item_block) blocks with
     popularity-balanced item blocks; pad each bucket to chunk multiples.
     ``item_perm`` (a new_of_old array from a previous plan with the same
@@ -154,8 +154,11 @@ def prepare_mxu_data(users, items, values, num_users: int, num_items: int, *,
     perm = (np.random.default_rng(shuffle_seed).permutation(n)
             if shuffle_seed is not None and n > 1 else None)
 
-    UB = min(user_block, _round_up(max(num_users, 1), 8))
-    IB = min(item_block, _round_up(max(num_items, 1), 8))
+    # block_align=128 for kernels whose tables are TRANSPOSED
+    # ([fe, rows]): Mosaic requires lane-dim slices to be 128-aligned,
+    # so small catalogs must round their blocks up to the lane tile
+    UB = min(user_block, _round_up(max(num_users, 1), block_align))
+    IB = min(item_block, _round_up(max(num_items, 1), block_align))
     n_ub = max((num_users + UB - 1) // UB, 1)
     n_ib = max((num_items + IB - 1) // IB, 1)
 

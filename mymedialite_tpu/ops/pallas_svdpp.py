@@ -131,7 +131,8 @@ def prepare_svdpp_mxu(r_users, r_items, r_values, h_users, h_items,
                       num_users: int, num_items: int, *,
                       user_block: int = 512, item_block: int = 1024,
                       chunk: int = 512, pass_len: int = 16384,
-                      shuffle_seed=0) -> SvdppMxuPlan:
+                      shuffle_seed=0,
+                      block_align: int = 8) -> SvdppMxuPlan:
     """Bucket edges + ratings (shared item permutation), build the
     static S/R/Y schedule. Raises ValueError if any single user block's
     chunk count exceeds pass_len (callers fall back to the XLA epoch)."""
@@ -142,12 +143,14 @@ def prepare_svdpp_mxu(r_users, r_items, r_values, h_users, h_items,
                               num_users, num_items,
                               user_block=user_block,
                               item_block=item_block, chunk=chunk,
-                              shuffle_seed=shuffle_seed)
+                              shuffle_seed=shuffle_seed,
+                              block_align=block_align)
     plan_r = prepare_mxu_data(r_users, r_items, r_values, num_users,
                               num_items, user_block=user_block,
                               item_block=item_block, chunk=chunk,
                               shuffle_seed=shuffle_seed,
-                              item_perm=plan_e.new_of_old)
+                              item_perm=plan_e.new_of_old,
+                              block_align=block_align)
     assert plan_e.n_ublocks == plan_r.n_ublocks
     assert plan_e.chunk == plan_r.chunk
     nc_e, nc_r = plan_e.num_chunks, plan_r.num_chunks

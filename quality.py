@@ -41,13 +41,32 @@ def main():
 
     # --- rating prediction, ML-1M shape ---
     scale = 0.05 if small else 1.0
-    data = synthetic_ratings(num_users=int(6040 * scale) or 60,
-                             num_items=int(3706 * scale) or 40,
-                             num_ratings=int(1_000_000 * scale) or 5000,
-                             seed=100)
+    data, (P_true, _Q, _bu, _bi) = synthetic_ratings(
+        num_users=int(6040 * scale) or 60,
+        num_items=int(3706 * scale) or 40,
+        num_ratings=int(1_000_000 * scale) or 5000,
+        seed=100, return_factors=True)
     train, test = split_ratings(data, 0.1, seed=101)
     print(f"# rating data: {len(train)} train / {len(test)} test, "
           f"{train.num_users} users x {train.num_items} items", flush=True)
+
+    # factor-consistent trust graph for SocialMF (Jamali & Ester 2010):
+    # each user trusts its 10 nearest neighbors in the PLANTED factor
+    # space — trusted users genuinely share preferences, so the social
+    # regularizer carries real signal
+    Pn = P_true / np.maximum(
+        np.linalg.norm(P_true, axis=1, keepdims=True), 1e-9)
+    sim = Pn @ Pn.T
+    np.fill_diagonal(sim, -np.inf)
+    k_trust = 10
+    nbr = np.argpartition(-sim, k_trust, axis=1)[:, :k_trust]
+    trust_u = np.repeat(np.arange(P_true.shape[0], dtype=np.int32),
+                        k_trust)
+    trust_v = nbr.astype(np.int32).reshape(-1)
+    from mymedialite_tpu.data.arrays import PosOnlyData
+    trust = PosOnlyData(trust_u, trust_v,
+                        num_users=P_true.shape[0],
+                        num_items=P_true.shape[0])
 
     rating_configs = [
         ("GlobalAverage", ""),
@@ -55,6 +74,11 @@ def main():
         ("BiasedMatrixFactorization", "num_factors=40 num_iter=40 bold_driver=true"),
         ("MatrixFactorization", "num_factors=40 num_iter=40"),
         ("SVDPlusPlus", "num_factors=20 num_iter=25 learn_rate=0.003"),
+        ("SigmoidSVDPlusPlus", "num_factors=20 num_iter=25 learn_rate=0.003"),
+        ("SigmoidItemAsymmetricFactorModel",
+         "num_factors=20 num_iter=25 learn_rate=0.003"),
+        ("SocialMF", "num_factors=40 num_iter=40 bold_driver=true"
+                     " social_regularization=0.5"),
         ("ItemKNN", "k=40"),
     ]
     from mymedialite_tpu.utils.params import configure
@@ -64,6 +88,8 @@ def main():
             configure(m, opts)
         if f32 and hasattr(m, "mxu_dtype"):
             m.mxu_dtype = "f32"
+        if name == "SocialMF":
+            m.user_relation = trust
         m.ratings = train
         t0 = time.time()
         m.train()
@@ -72,8 +98,35 @@ def main():
         res = evaluate_ratings(m, test)
         t_eval = time.time() - t0
         path = _kernel_tag(m, "_mxu_plan")
+        if path == "xla" and getattr(m, "_svdpp_plan", None) is not None:
+            path = f"mxu/{getattr(m, 'mxu_dtype', 'bf16')}"
         print(f"{name:30s} {res}  train {t_train:6.1f}s eval "
               f"{t_eval:5.1f}s [{path}]", flush=True)
+
+    # --- time-aware baselines on drifting timed data (Koren 2009;
+    # reference TimeAwareBaseline.cs) — the generator plants per-item
+    # linear drift, so modeling time must beat the static baseline ---
+    tdata = synthetic_ratings(num_users=int(6040 * scale) or 60,
+                              num_items=int(3706 * scale) or 40,
+                              num_ratings=int(1_000_000 * scale) or 5000,
+                              seed=110, with_times=True, time_drift=1.0)
+    ttrain, ttest = split_ratings(tdata, 0.1, seed=111)
+    print(f"# timed rating data (per-item drift 1.0): {len(ttrain)} "
+          f"train / {len(ttest)} test", flush=True)
+    for name, opts in [
+            ("UserItemBaseline", ""),
+            ("TimeAwareBaseline", "num_iter=30"),
+            ("TimeAwareBaselineWithFrequencies", "num_iter=30")]:
+        m = create_rating_predictor(name)
+        if opts:
+            configure(m, opts)
+        m.ratings = ttrain
+        t0 = time.time()
+        m.train()
+        t_train = time.time() - t0
+        res = evaluate_ratings(m, ttest)
+        print(f"{name:34s} {res}  train {t_train:6.1f}s [xla]",
+              flush=True)
 
     # --- item recommendation, implicit ML shape ---
     pos = synthetic_posonly(num_users=int(6040 * scale) or 60,
@@ -91,7 +144,14 @@ def main():
         # tuned per the exp_bpr.py sweep (BASELINE.md BPR table)
         ("BPRMF", "num_factors=16 num_iter=100 learn_rate=0.02"
                   " reg_u=0.01 reg_i=0.01 reg_j=0.001"),
+        ("WeightedBPRMF", "num_factors=16 num_iter=100 learn_rate=0.02"
+                          " reg_u=0.01 reg_i=0.01 reg_j=0.001"),
+        ("SoftMarginRankingMF", "num_factors=16 num_iter=100"
+                                " learn_rate=0.02 reg_u=0.01 reg_i=0.01"
+                                " reg_j=0.001"),
         ("WRMF", "num_factors=32 num_iter=15"),
+        ("LeastSquareSLIM", "num_iter=10"),
+        ("BPRSLIM", "num_iter=30"),
     ]
     for name, opts in item_configs:
         m = create_item_recommender(name)
