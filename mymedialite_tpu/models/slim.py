@@ -62,11 +62,19 @@ class _SLIM(IncrementalItemRecommender, IterativeModel):
     def _user_rows(self, users):
         """Dense 0/1 incidence rows for the REQUESTED users only
         ([B, I] f32, host-built from the CSR) — the full [U, I] f32
-        incidence is 34 GB at the Netflix user count."""
+        incidence is 34 GB at the Netflix user count. Vectorized fill
+        (the per-user python loop measured ~12 minutes over a 6k-user
+        ranking eval)."""
         f = self.feedback
+        users = np.asarray(users, dtype=np.int64)
+        csr = f.by_user
+        lens = (csr.indptr[users + 1] - csr.indptr[users]).astype(np.int64)
+        rows = np.repeat(np.arange(len(users)), lens)
+        cols = np.concatenate(
+            [csr.secondary(int(u)) for u in users]) if len(users) else \
+            np.zeros(0, np.int64)
         out = np.zeros((len(users), f.num_items), np.float32)
-        for r, u in enumerate(np.asarray(users, dtype=np.int64)):
-            out[r, f.items_by_user(int(u))] = 1.0
+        out[rows, cols] = 1.0
         return jnp.asarray(out)
 
     def predict_batch(self, users, items):

@@ -77,7 +77,15 @@ def main():
         ("SigmoidSVDPlusPlus", "num_factors=20 num_iter=25 learn_rate=0.003"),
         ("SigmoidItemAsymmetricFactorModel",
          "num_factors=20 num_iter=25 learn_rate=0.003"),
-        ("SocialMF", "num_factors=40 num_iter=40 bold_driver=true"
+        # SocialMF is FULL-BATCH gradient descent (reference
+        # SocialMF.cs IterateBatch): needs batch-scale learn rate +
+        # iteration depth, not the SGD settings (probed 2026-08-21:
+        # lr 1e-2 diverges; lr 2e-4 x 400 it -> 0.710, beating the
+        # biases-only 0.722; the social gradient is live — sreg=100
+        # visibly shrinks factor norms, 1e4 diverges — but planted
+        # heavy-activity users leave trust smoothing ~neutral, as
+        # expected for a cold-start-targeted regularizer)
+        ("SocialMF", "num_factors=40 num_iter=400 learn_rate=0.0002"
                      " social_regularization=0.5"),
         ("ItemKNN", "k=40"),
     ]
@@ -150,7 +158,12 @@ def main():
                                 " learn_rate=0.02 reg_u=0.01 reg_i=0.01"
                                 " reg_j=0.001"),
         ("WRMF", "num_factors=32 num_iter=15"),
-        ("LeastSquareSLIM", "num_iter=10"),
+        # reg_l1 tuned for this density (probed 2026-08-21: the
+        # reference default 0.01 soft-thresholds essentially every
+        # coordinate — mean |gradient| here is ~3e-4 — leaving AUC
+        # 0.60; 1e-4 with a wider k=100 neighbor prefilter reaches
+        # 0.847 / prec@5 0.227, clearly past ItemKNN)
+        ("LeastSquareSLIM", "num_iter=10 reg_l1=0.0001 k=100"),
         ("BPRSLIM", "num_iter=30"),
     ]
     for name, opts in item_configs:
