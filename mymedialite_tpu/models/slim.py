@@ -35,6 +35,26 @@ from mymedialite_tpu.ops import bpr as bpr_ops
 from mymedialite_tpu.ops import correlation as corr_ops
 
 
+def _slim_catalog(params, users):
+    """Pure catalog scorer (module-level: stable jit identity; see
+    Recommender.catalog_scorer): per user, build the 0/1 history
+    incidence row ON DEVICE from the padded histories and take one
+    matmul against W.T — the host incidence path was ~0.12 s/user of
+    eager tunnel dispatches during ranking eval."""
+    hist, lens, W = params["hist"], params["lens"], params["W"]
+    import jax.numpy as jnp
+    u = jnp.clip(users, 0, hist.shape[0] - 1)
+    h = hist[u]                                        # [B, L]
+    L = hist.shape[1]
+    I = W.shape[0]
+    m = (jnp.arange(L)[None, :] < lens[u][:, None]).astype(jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(u.shape[0])[:, None], h.shape)
+    A = jnp.zeros((u.shape[0], I), jnp.float32)
+    A = A.at[rows.reshape(-1),
+             jnp.clip(h, 0, I - 1).reshape(-1)].max(m.reshape(-1))
+    return A @ W.T
+
+
 class _SLIM(IncrementalItemRecommender, IterativeModel):
     EXTRA_PARAMS = {"init_mean": float, "init_stdev": float}
 
@@ -53,29 +73,12 @@ class _SLIM(IncrementalItemRecommender, IterativeModel):
         W = self.init_mean + self.init_stdev * jax.random.normal(
             key, (I, I), dtype=jnp.float32)
         self.W = W * (1.0 - jnp.eye(I, dtype=jnp.float32))
+        self._score_hist = None      # feedback-derived; rebuilt lazily
 
     def train(self):
         self.init_model()
         for _ in range(self.num_iter):
             self.iterate()
-
-    def _user_rows(self, users):
-        """Dense 0/1 incidence rows for the REQUESTED users only
-        ([B, I] f32, host-built from the CSR) — the full [U, I] f32
-        incidence is 34 GB at the Netflix user count. Vectorized fill
-        (the per-user python loop measured ~12 minutes over a 6k-user
-        ranking eval)."""
-        f = self.feedback
-        users = np.asarray(users, dtype=np.int64)
-        csr = f.by_user
-        lens = (csr.indptr[users + 1] - csr.indptr[users]).astype(np.int64)
-        rows = np.repeat(np.arange(len(users)), lens)
-        cols = np.concatenate(
-            [csr.secondary(int(u)) for u in users]) if len(users) else \
-            np.zeros(0, np.int64)
-        out = np.zeros((len(users), f.num_items), np.float32)
-        out[rows, cols] = 1.0
-        return jnp.asarray(out)
 
     def predict_batch(self, users, items):
         users = np.asarray(users, dtype=np.int64)
@@ -92,9 +95,17 @@ class _SLIM(IncrementalItemRecommender, IterativeModel):
         return out
 
     def score_catalog(self, users):
-        users = np.clip(np.asarray(users, dtype=np.int64), 0,
-                        self.feedback.num_users - 1)
-        return np.asarray(self._user_rows(users) @ self.W.T)
+        return np.asarray(self.score_catalog_device(users))
+
+    def catalog_scorer(self):
+        if self.W is None:
+            raise RuntimeError(f"{type(self).__name__}: model not trained")
+        hl = getattr(self, "_score_hist", None)
+        if hl is None:
+            hist, lens = padded_history(self.feedback.by_user)
+            hl = (jnp.asarray(hist), jnp.asarray(lens))
+            self._score_hist = hl
+        return _slim_catalog, dict(hist=hl[0], lens=hl[1], W=self.W)
 
     def _retrain(self, users, items):
         if self.W is not None:
@@ -140,6 +151,7 @@ class LeastSquareSLIM(_SLIM):
         # deterministic warm start; random init leaves Jacobi noise
         I = self.feedback.num_items
         self.W = jnp.zeros((I, I), dtype=jnp.float32)
+        self._score_hist = None      # feedback-derived; rebuilt lazily
         self._build_epoch_state()
 
     def _ensure_epoch_ready(self):
@@ -305,6 +317,13 @@ import functools  # noqa: E402
     donate_argnames=("W",))
 def _bpr_slim_epoch(W, sampler, hist, lens, key, lr, reg_i, reg_j, *,
                     batch_size, num_batches, meta_static, regime, update_j):
+    """Per batch, the per-triple updates over all k in I_u are expressed
+    as dense [B, I] incidence rows + two ``one_hot.T @ delta`` MXU
+    matmuls — the framework's standard scatter-free formulation. The
+    flat-scatter version measured ~24 s/epoch device time at the ML-1M
+    shape (15G serialized scatter-add rows over a 30-epoch run, hidden
+    behind async dispatch until the next fetch); the matmul form is
+    ~28 GFLOP/batch, minutes -> seconds."""
     meta = dict(meta_static)
     I = W.shape[0]
     L = hist.shape[1]
@@ -313,29 +332,36 @@ def _bpr_slim_epoch(W, sampler, hist, lens, key, lr, reg_i, reg_j, *,
         bkey = jax.random.fold_in(key, b)
         u, i, j, w = bpr_ops._sample_triples(bkey, sampler, meta, batch_size,
                                              regime)
+        B = u.shape[0]
         hu = hist[u]                                    # [B, L]
         hmask = (jnp.arange(L)[None, :] <
                  lens[u][:, None]).astype(jnp.float32)  # [B, L]
         hu_c = jnp.clip(hu, 0, I - 1)
-        # x_uij = sum_k (W[i,k] - W[j,k]) over k in I_u (diag entries are 0)
-        wi = W[i]                                       # [B, I]
-        wj = W[j]
-        x = jnp.sum((jnp.take_along_axis(wi, hu_c, axis=1)
-                     - jnp.take_along_axis(wj, hu_c, axis=1)) * hmask, axis=1)
+        # dense incidence rows A[b, k] = 1 iff k in I_u(b)
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], hu_c.shape)
+        A = jnp.zeros((B, I), jnp.float32).at[
+            rows.reshape(-1), hu_c.reshape(-1)].max(hmask.reshape(-1))
+        iota = jnp.arange(I)[None, :]
+        Pi = (iota == i[:, None]).astype(jnp.float32)   # [B, I] one-hot
+        Pj = (iota == j[:, None]).astype(jnp.float32)
+        # row gathers as one-hot matmuls too (W[i] row-gathers measured
+        # ~5x the matmul cost at this shape)
+        wi = jnp.dot(Pi, W, preferred_element_type=jnp.float32)
+        wj = jnp.dot(Pj, W, preferred_element_type=jnp.float32)
+        # x_uij = sum_k (W[i,k] - W[j,k]) over k in I_u (diag is 0)
+        x = jnp.sum((wi - wj) * A, axis=1)
         g = jax.nn.sigmoid(-x) * w                      # [B]
-        # update W[i, k] += lr (g - reg_i W[i,k]); k in I_u, k != i
-        not_self_i = (hu_c != i[:, None]).astype(jnp.float32) * hmask
-        flat_i = (i[:, None] * I + hu_c).reshape(-1)
-        cur_i = jnp.take_along_axis(wi, hu_c, axis=1)
-        d_i = (lr * (g[:, None] - reg_i * cur_i) * not_self_i).reshape(-1)
-        Wf = W.reshape(-1).at[flat_i].add(d_i)
+        # W[i, k] += lr (g - reg_i W[i,k]); k in I_u, k != i
+        Xi = lr * (g[:, None] - reg_i * wi) * A * (iota != i[:, None])
+        W = W + jax.lax.dot_general(
+            Pi, Xi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         if update_j:
-            not_self_j = (hu_c != j[:, None]).astype(jnp.float32) * hmask
-            flat_j = (j[:, None] * I + hu_c).reshape(-1)
-            cur_j = jnp.take_along_axis(wj, hu_c, axis=1)
-            d_j = (lr * (-g[:, None] - reg_j * cur_j) * not_self_j).reshape(-1)
-            Wf = Wf.at[flat_j].add(d_j)
-        return Wf.reshape(I, I), None
+            Xj = lr * (-g[:, None] - reg_j * wj) * A * (iota != j[:, None])
+            W = W + jax.lax.dot_general(
+                Pj, Xj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return W, None
 
     W, _ = jax.lax.scan(batch_step, W, jnp.arange(num_batches,
                                                   dtype=jnp.int32))
