@@ -64,7 +64,7 @@ class Csr:
 def build_csr(primary: np.ndarray, secondary: np.ndarray, num_keys: int) -> Csr:
     order = np.lexsort((secondary, primary)).astype(np.int32)
     indptr = np.zeros(num_keys + 1, dtype=np.int64)
-    np.add.at(indptr, primary.astype(np.int64) + 1, 1)
+    indptr[1:] = np.bincount(primary, minlength=num_keys)
     np.cumsum(indptr, out=indptr)
     return Csr(indptr=indptr, order=order, keys=secondary[order])
 
@@ -119,11 +119,15 @@ class InteractionData:
 
     @cached_property
     def count_by_user(self) -> np.ndarray:
-        return self.by_user.counts()
+        # plain bincount: building the full by_user CSR just for counts
+        # was 2 x (20M lexsort + add.at) ~= 21 s at the Netflix shape
+        return np.bincount(self.users, minlength=self.num_users).astype(
+            np.int32)
 
     @cached_property
     def count_by_item(self) -> np.ndarray:
-        return self.by_item.counts()
+        return np.bincount(self.items, minlength=self.num_items).astype(
+            np.int32)
 
     def items_by_user(self, u: int) -> np.ndarray:
         """Sorted item ids interacted with by user u."""

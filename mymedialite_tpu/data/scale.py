@@ -38,7 +38,23 @@ class RatingScale:
 
     @staticmethod
     def from_values(values) -> "RatingScale":
-        levels = np.unique(np.asarray(values, dtype=np.float64))
+        values = np.asarray(values, dtype=np.float64)
+        if values.size > 2_000_000:
+            # big-data fast path: a full 20M-element np.unique (sort) +
+            # a 20M-entry Python tuple cost ~5 s at the Netflix shape.
+            # Rating scales have FEW levels in practice — detect them on
+            # a sample, then verify exactly with one vectorized isin;
+            # continuous values collapse to the (min, max) bounds, which
+            # is all any consumer of a dense scale uses.
+            sample = np.unique(values[:: max(1, values.size // 65536)])
+            if sample.size > 1024:
+                return RatingScale((float(values.min()), float(values.max())))
+            extras = np.unique(values[~np.isin(values, sample)])
+            levels = np.union1d(sample, extras)
+            if levels.size > 4096:
+                return RatingScale((float(levels[0]), float(levels[-1])))
+        else:
+            levels = np.unique(values)
         if levels.size == 0:
             levels = np.array([0.0, 1.0])
         return RatingScale(tuple(float(v) for v in levels))

@@ -8,6 +8,7 @@ paths when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,22 +18,44 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fast_parser.cpp")
 _LIB = os.path.join(_HERE, "libfastparser.so")
+_HASH = _LIB + ".srchash"
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              _SRC, "-o", _LIB + ".tmp"],
             check=True, capture_output=True, timeout=120)
         os.replace(_LIB + ".tmp", _LIB)
+        with open(_HASH, "w") as f:
+            f.write(src_hash)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+
+
+def _stale(src_hash: str) -> bool:
+    # source-hash check, not mtime: git checkouts randomize mtime order,
+    # which forced a spurious ~12 s g++ rebuild into the first model's
+    # init_model on fresh clones (and an mtime tie could miss a REAL
+    # source change committed together with a stale binary)
+    if not os.path.exists(_LIB):
+        return True
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != src_hash
+    except OSError:
+        return True
 
 
 def get_lib():
@@ -42,9 +65,9 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
+        src_hash = _src_hash()
+        if _stale(src_hash):
+            if not _build(src_hash):
                 return None
         try:
             lib = ctypes.CDLL(_LIB)
