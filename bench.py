@@ -610,7 +610,13 @@ def bench_eval_device():
         rng.uniform(1, 5, PROBE).astype(np.float32),
         num_users=NUM_USERS, num_items=NUM_ITEMS)
     fn, params = m.pair_scorer()
-    u, i, v, w = rating_eval._device_eval_arrays(probe)
+    if getattr(fn, "WANTS_UGATHER", False):
+        # banked windowed user gather (ops/gather.py) — the production
+        # selection at this shape since r5
+        u, i, v, w, bases = rating_eval._device_eval_arrays_banked(probe)
+        params = dict(params, _ugather_bases=bases)
+    else:
+        u, i, v, w = rating_eval._device_eval_arrays(probe)
     jfn = rating_eval._metrics_jit(fn, False)
     lo, hi = jnp.float32(1.0), jnp.float32(5.0)
     cu = ci = jnp.zeros(1, jnp.int32)

@@ -102,6 +102,41 @@ def _device_eval_arrays(test):
     return out
 
 
+def _device_eval_arrays_banked(test):
+    """Segmented variant for scorers with a banked user gather
+    (ops/gather.py): pairs sorted by user, laid out in [S, SEG_C]
+    window segments (pad slots carry w = 0). Metric sums are
+    order-invariant, so the re-ordering is observationally free."""
+    cached = test.__dict__.get("_dev_eval_banked")
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+
+    from mymedialite_tpu.ops import gather as bg
+    order = np.argsort(test.users, kind="stable")
+    us = test.users[order].astype(np.int32)
+    seg_ids, bases, fills = bg.banked_plan(us)
+    S = seg_ids.shape[0]
+    cap = S * bg.SEG_C
+    items_s = test.items[order].astype(np.int32)
+    vals_s = test.values[order].astype(np.float32)
+    i = np.zeros(cap, np.int32)
+    v = np.zeros(cap, np.float32)
+    w = np.zeros(cap, np.float32)
+    pos = 0
+    for s in range(S):
+        f = int(fills[s])
+        o = s * bg.SEG_C
+        i[o:o + f] = items_s[pos:pos + f]
+        v[o:o + f] = vals_s[pos:pos + f]
+        w[o:o + f] = 1.0
+        pos += f
+    out = (jnp.asarray(seg_ids.reshape(-1)), jnp.asarray(i),
+           jnp.asarray(v), jnp.asarray(w), jnp.asarray(bases))
+    test.__dict__["_dev_eval_banked"] = out
+    return out
+
+
 def _device_counts(training):
     cached = training.__dict__.get("_dev_counts")
     if cached is not None:
@@ -152,7 +187,11 @@ def _metrics_jit(fn, breakdown: bool):
 def _evaluate_device(recommender, scorer, test, training):
     import jax.numpy as jnp
     fn, params = scorer
-    u, i, v, w = _device_eval_arrays(test)
+    if getattr(fn, "WANTS_UGATHER", False):
+        u, i, v, w, bases = _device_eval_arrays_banked(test)
+        params = dict(params, _ugather_bases=bases)
+    else:
+        u, i, v, w = _device_eval_arrays(test)
     lo = float(recommender.min_rating)
     hi = float(recommender.max_rating)
     if training is not None:

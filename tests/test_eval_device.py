@@ -114,3 +114,62 @@ def test_cold_start_subsets_match_reference_masks(data):
         if a is not None:
             for k in KEYS:
                 assert a[k] == pytest.approx(b[k], abs=2e-4)
+
+
+def test_banked_gather_path_matches(data, monkeypatch):
+    """The banked (windowed) user gather (ops/gather.py) must produce
+    the same metrics as the plain path — forced on at toy scale by
+    shrinking the window/threshold constants."""
+    from mymedialite_tpu.ops import gather as bg
+    train, test = data
+    m = BiasedMatrixFactorization()
+    m.num_iter = 3
+    m.ratings = train
+    m.train()
+    ref = R.evaluate_ratings(m, test, train)
+
+    monkeypatch.setattr(bg, "MIN_ROWS", 0)
+    monkeypatch.setattr(bg, "WINDOW", 64)
+    monkeypatch.setattr(bg, "SEG_C", 1024)
+    fn, params = m.pair_scorer()
+    assert getattr(fn, "WANTS_UGATHER", False)
+    test.__dict__.pop("_dev_eval_banked", None)
+    dev = R.evaluate_ratings(m, test, train)
+    for k in KEYS:
+        assert dev[k] == pytest.approx(ref[k], abs=2e-5)
+    for a, b in ((dev.new_user_results, ref.new_user_results),
+                 (dev.new_item_results, ref.new_item_results),
+                 (dev.new_user_new_item_results,
+                  ref.new_user_new_item_results)):
+        assert (a is None) == (b is None)
+        if a is not None:
+            for k in KEYS:
+                assert a[k] == pytest.approx(b[k], abs=2e-4)
+    test.__dict__.pop("_dev_eval_banked", None)
+
+
+def test_banked_gather_cold_start(monkeypatch):
+    """Out-of-table (new) users must still be masked correctly through
+    the windowed gather's clipping."""
+    from mymedialite_tpu.ops import gather as bg
+    pos = synthetic_ratings(num_users=200, num_items=150, num_ratings=5000,
+                            seed=11)
+    train, _ = split_ratings(pos, 0.2, seed=3)
+    m = BiasedMatrixFactorization()
+    m.num_iter = 2
+    m.ratings = train
+    m.train()
+    test = RatingData(
+        np.array([0, 5, train.num_users + 3, train.num_users + 40],
+                 np.int32),
+        np.array([0, train.num_items + 7, 1, 2], np.int32),
+        np.array([3.0, 4.0, 2.0, 5.0], np.float32),
+        num_users=train.num_users + 41, num_items=train.num_items + 9)
+    ref = R.evaluate_ratings(m, test, train)
+    monkeypatch.setattr(bg, "MIN_ROWS", 0)
+    monkeypatch.setattr(bg, "WINDOW", 32)
+    monkeypatch.setattr(bg, "SEG_C", 1024)
+    test.__dict__.pop("_dev_eval_banked", None)
+    dev = R.evaluate_ratings(m, test, train)
+    for k in KEYS:
+        assert dev[k] == pytest.approx(ref[k], abs=2e-5)
