@@ -26,9 +26,17 @@ def main():
         synthetic_ratings
     from mymedialite_tpu.ops import correlation as corr_ops
 
+    # timing-only measurement: sample events directly (the full
+    # synthetic_posonly generator draws a Gumbel per (event, item) pair
+    # — ~700G variates at this shape)
     t0 = time.time()
-    fb = synthetic_posonly(num_users=USERS, num_items=ITEMS,
-                           num_events=EVENTS, seed=5)
+    rng = np.random.default_rng(5)
+    pop = rng.zipf(1.3, size=ITEMS).astype(np.float64)
+    pop /= pop.sum()
+    from mymedialite_tpu.data.arrays import PosOnlyData
+    fb = PosOnlyData(rng.integers(0, USERS, EVENTS).astype(np.int32),
+                     rng.choice(ITEMS, EVENTS, p=pop).astype(np.int32),
+                     num_users=USERS, num_items=ITEMS)
     print(f"posonly data: {len(fb.users)} events "
           f"({time.time() - t0:.1f}s to generate)")
 

@@ -168,6 +168,11 @@ class UserItemBaseline(IncrementalRatingPredictor, IterativeModel):
 
     HYPERPARAMS = {"reg_u": float, "reg_i": float, "num_iter": int}
 
+    # prediction reads only (b_u, b_i); retrains read per-entity
+    # histories through _rated_by_* -> buffered prequential mode works
+    SUPPORTS_ONLINE_BUFFER = True
+    ONLINE_PREDICT_ROW_LOCAL = True
+
     def __init__(self):
         super().__init__()
         self.reg_u = 15.0
@@ -222,15 +227,62 @@ class UserItemBaseline(IncrementalRatingPredictor, IterativeModel):
                + self.item_biases[None, :])
         return np.clip(raw, self.min_rating, self.max_rating).astype(np.float32)
 
+    def retrain_user(self, user_id):
+        """Touched-row bias refresh (reference UserItemBaseline.cs:151-160
+        — note the reference folds the PREVIOUS bias value into the
+        numerator sum before dividing; mirrored exactly)."""
+        if not self.update_users or not (
+                0 <= user_id < self.user_biases.shape[0]):
+            return
+        items, vals = self._rated_by_user(user_id)
+        if items.size == 0:
+            return
+        ok = (items >= 0) & (items < self.item_biases.shape[0])
+        bi = np.where(ok, self.item_biases[
+            np.clip(items, 0, max(self.item_biases.shape[0] - 1, 0))], 0.0)
+        s = float(self.user_biases[user_id]) + float(
+            np.sum(vals - self.global_average - bi))
+        self.user_biases[user_id] = s / (self.reg_u + items.size)
+
+    def retrain_item(self, item_id):
+        """Reference UserItemBaseline.cs:163-172."""
+        if not self.update_items or not (
+                0 <= item_id < self.item_biases.shape[0]):
+            return
+        users, vals = self._rated_by_item(item_id)
+        if users.size == 0:
+            return
+        ok = (users >= 0) & (users < self.user_biases.shape[0])
+        bu = np.where(ok, self.user_biases[
+            np.clip(users, 0, max(self.user_biases.shape[0] - 1, 0))], 0.0)
+        s = float(self.item_biases[item_id]) + float(
+            np.sum(vals - self.global_average - bu))
+        self.item_biases[item_id] = s / (self.reg_i + users.size)
+
+    def _grow(self, num_users, num_items):
+        # zero-extend (reference AddUser/AddItem grow the bias arrays)
+        if num_users > self.user_biases.shape[0]:
+            nb = np.zeros(num_users, np.float32)
+            nb[:self.user_biases.shape[0]] = self.user_biases
+            self.user_biases = nb
+        if num_items > self.item_biases.shape[0]:
+            nb = np.zeros(num_items, np.float32)
+            nb[:self.item_biases.shape[0]] = self.item_biases
+            self.item_biases = nb
+
     def _retrain(self, users, items):
+        # touched rows only, like the reference's AddRatings ->
+        # RetrainUser/RetrainItem (a full alternating refresh here made
+        # prequential eval O(n) PER EVENT)
         if self.user_biases.size == 0:
             return
-        if self.ratings.num_users > self.user_biases.shape[0]:
-            self.user_biases = np.resize(self.user_biases, self.ratings.num_users)
-        if self.ratings.num_items > self.item_biases.shape[0]:
-            self.item_biases = np.resize(self.item_biases, self.ratings.num_items)
-        # one alternating refresh (reference RetrainUser/RetrainItem)
-        self.iterate()
+        self._grow(max((int(u) for u in users), default=-1) + 1,
+                   max((int(i) for i in items), default=-1) + 1)
+        # users first, then items (reference UserItemBaseline.cs:175-182)
+        for u in users:
+            self.retrain_user(int(u))
+        for i in items:
+            self.retrain_item(int(i))
 
     def save_model(self, path):
         with ModelWriter(path, type(self).__name__, "2.99") as w:

@@ -171,19 +171,22 @@ class LeastSquareSLIM(_SLIM):
         # The sweep itself only needs C — S^T M = W M^T M = W C.
         chunk = 4096
         n_pad = ((f.num_users + chunk - 1) // chunk) * chunk
-        A8 = corr_ops._device_incidence(
+        # scatter-free int8 incidence from the bit-packed device build
+        # (ops/correlation.py _incidence_int8 — the direct scatter build
+        # measured 84 s at this scale); width is I rounded up to 8 with
+        # zero pad columns, cut back after the Gram
+        A8, pairs = corr_ops._incidence_int8(
             np.asarray(f.users, np.int32), np.asarray(f.items, np.int32),
-            jnp.int8(1), n_pad=n_pad, m=I)
-        C = jnp.zeros((I, I), jnp.float32)
+            n_pad=n_pad, m=I)
+        mb = A8.shape[1]
+        C = jnp.zeros((mb, mb), jnp.float32)
         for r0 in range(0, n_pad, 16_384):
             rows = min(16_384, n_pad - r0)
             C = _gram_slab(C, A8, jnp.int32(r0), rows=rows)
-        self._C = C
-        del A8
-        key = np.asarray(f.users, np.int64) * I + np.asarray(f.items,
-                                                             np.int64)
-        uf = np.unique(key) % I
-        self._cj = jnp.asarray(np.bincount(uf, minlength=I)
+        self._C = C[:I, :I] if mb != I else C
+        del A8, C
+        uf = pairs % mb
+        self._cj = jnp.asarray(np.bincount(uf, minlength=I)[:I]
                                .astype(np.float32))
         self._num_users = f.num_users
         if self.k > 0:

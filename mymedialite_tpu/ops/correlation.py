@@ -188,10 +188,18 @@ def _zeros_int8(*, n_pad: int, m: int):
 
 @functools.partial(jax.jit, static_argnames=("rows", "m"),
                    donate_argnames=("A",))
-def _incidence_slab(A, e_rel, f, lev, row0, *, rows: int, m: int):
-    S = jnp.zeros((rows, m), jnp.int8)
-    S = S.at[e_rel, f].set(lev, mode="drop")
+def _incidence_slab(A, lin, lev, row0, *, rows: int, m: int):
+    # slice-accumulate-writeback with a FLAT 1-D scatter: 2-D scatter
+    # indices lower as an s32[n, 2] concat whose minor dim pads to the
+    # 128-lane tile (64x expansion — 16 GB of index temp for a 33M-event
+    # slab, measured OOM 2026-08-21); linearized per-slab indices stay
+    # [n] s32 with no padding (slab_rows * m < 2^31 keeps them int32)
+    S = jax.lax.dynamic_slice(A, (row0, 0), (rows, m))
+    S = S.reshape(rows * m).at[lin].set(lev, mode="drop").reshape(rows, m)
     return jax.lax.dynamic_update_slice(A, S, (row0, 0))
+
+
+_SLAB_EVENT_CHUNK = 1 << 21
 
 
 def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int,
@@ -202,13 +210,17 @@ def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int,
     its operand, so at the Netflix user-KNN shape (480k x 17.8k =
     8.6 GB) it transiently needs 2x the table and exhausts HBM
     (measured 2026-08-21); slab updates keep the peak at table + one
-    1.1 GB slab."""
+    ~1 GB slab. Slab height adapts to the feature width (the item-KNN
+    orientation has m = 480k), and events scatter in bounded chunks that
+    ACCUMULATE into the sliced slab."""
     eids = np.asarray(entity_ids)
     fids = np.asarray(feature_ids)
     lev = np.asarray(levels)
     if lev.ndim == 0:
         lev = np.full(eids.shape, lev, np.int8)
     A = _zeros_int8(n_pad=n_pad, m=m)
+    # ~1 GB slab budget; keep linear indices within int32
+    slab_rows = max(8, min(slab_rows, (1 << 30) // max(m, 1)))
     slab_rows = min(slab_rows, n_pad)
     sl = eids // slab_rows
     for s0 in range(0, n_pad, slab_rows):
@@ -216,19 +228,93 @@ def _device_incidence(entity_ids, feature_ids, levels, *, n_pad: int,
         idx = np.nonzero(sl == s0 // slab_rows)[0]
         if idx.size == 0:
             continue
-        # pow2 event capacity bounds recompiles; pads scatter
-        # out-of-bounds and drop
-        cap = 1 << max(int(idx.size) - 1, 0).bit_length()
-        e_rel = np.full(cap, rows, np.int32)
-        f_pad = np.zeros(cap, np.int32)
-        l_pad = np.zeros(cap, lev.dtype)
-        e_rel[:idx.size] = eids[idx] - s0
-        f_pad[:idx.size] = fids[idx]
-        l_pad[:idx.size] = lev[idx]
-        A = _incidence_slab(A, jnp.asarray(e_rel), jnp.asarray(f_pad),
-                            jnp.asarray(l_pad), jnp.int32(s0),
-                            rows=rows, m=m)
+        lin_all = (eids[idx].astype(np.int64) - s0) * m + fids[idx]
+        for c0 in range(0, idx.size, _SLAB_EVENT_CHUNK):
+            part = lin_all[c0:c0 + _SLAB_EVENT_CHUNK]
+            # pow2 event capacity bounds recompiles; pads scatter
+            # out-of-bounds and drop
+            cap = 1 << max(int(part.size) - 1, 0).bit_length()
+            lin = np.full(cap, rows * m, np.int64)
+            l_pad = np.zeros(cap, lev.dtype)
+            lin[:part.size] = part
+            l_pad[:part.size] = lev[idx[c0:c0 + _SLAB_EVENT_CHUNK]]
+            A = _incidence_slab(A, jnp.asarray(lin.astype(np.int32)),
+                                jnp.asarray(l_pad), jnp.int32(s0),
+                                rows=rows, m=m)
     return A
+
+
+@functools.partial(jax.jit, static_argnames=("total",))
+def _packed_scatter(byte_idx, mask, *, total: int):
+    # deduped (byte, bit) pairs: each bit contributes once, so a
+    # scatter-ADD is exactly a bitwise OR (flat 1-D uint8 scatters run
+    # ~90M updates/s on v5e; 2-D scatters and slab slicing paths
+    # measured 10-60x slower)
+    return jnp.zeros(total, jnp.uint8).at[byte_idx].add(mask, mode="drop")
+
+
+def _packed_incidence(eids, fids, *, n_pad: int, m: int):
+    """Bit-packed 0/1 incidence [n_pad, ceil(m/8)] uint8, built by ONE
+    flat device scatter from host-deduplicated (byte, bit) pairs.
+
+    The upload is the event stream (~5 B/event after dedup), not the
+    table: at the Netflix item-KNN orientation that is 100 MB vs the
+    8.6 GB int8 incidence (whose slab-scatter build measured 84 s) or
+    the 1.07 GB host-packed table (57 s of tunnel upload). Returns
+    (packed [n_pad, m8] uint8 on device, deduped bit-linear keys int64
+    [nnz_unique] — reusable for per-entity counts)."""
+    m8 = (m + 7) // 8
+    mb = m8 * 8
+    total = n_pad * m8
+    if total >= (1 << 31):
+        raise ValueError("packed incidence exceeds int32 indexing "
+                         f"({total} bytes); shard the entity dim first")
+    u = np.unique(np.asarray(eids, np.int64) * mb
+                  + np.asarray(fids, np.int64))
+    byte = (u >> 3).astype(np.int32)
+    mask = (np.uint8(128) >> (u & 7).astype(np.uint8))  # MSB = col 8b+0
+    # pow2 capacity bounds recompiles; pads scatter out-of-bounds + drop
+    cap = 1 << max(int(u.size) - 1, 0).bit_length()
+    b_pad = np.full(cap, total, np.int32)
+    m_pad = np.zeros(cap, np.uint8)
+    b_pad[:u.size] = byte
+    m_pad[:u.size] = mask
+    P = _packed_scatter(jnp.asarray(b_pad), jnp.asarray(m_pad),
+                        total=total).reshape(n_pad, m8)
+    return P, u
+
+
+def _unpack_bits(P, dtype):
+    """[R, m8] uint8 -> [R, m8*8] 0/1 in ``dtype`` ('big' bit order:
+    the MSB of byte b is column 8*b)."""
+    sh = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (P[:, :, None] >> sh[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(P.shape[0], -1).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",),
+                   donate_argnames=("A",))
+def _unpack_slab(A, P, row0, *, rows: int):
+    S = _unpack_bits(jax.lax.dynamic_slice(P, (row0, 0), (rows, P.shape[1])),
+                     jnp.int8)
+    return jax.lax.dynamic_update_slice(A, S, (row0, 0))
+
+
+def _incidence_int8(eids, fids, *, n_pad: int, m: int):
+    """int8 0/1 incidence [n_pad, mb] (mb = m rounded up to 8; the pad
+    columns stay zero), built scatter-free from the bit-packed incidence
+    in one device pass. The direct scatter build measured 84 s at the
+    Netflix item-KNN orientation (slab slicing + 2-D scatter lowering);
+    this path uploads ~5 B/event and unpacks slabs at VPU rate. Returns
+    (A int8 [n_pad, mb], deduped bit-linear pair keys int64)."""
+    P, u = _packed_incidence(eids, fids, n_pad=n_pad, m=m)
+    mb = P.shape[1] * 8
+    A = jnp.zeros((n_pad, mb), jnp.int8)
+    slab = max(1, min(n_pad, (1 << 28) // max(mb, 1)))
+    for r0 in range(0, n_pad, slab):
+        rows = min(slab, n_pad - r0)
+        A = _unpack_slab(A, P, jnp.int32(r0), rows=rows)
+    return A, u
 
 
 def _merge_topk(vals, ids, tile_vals, tile_ids, k: int):
@@ -392,33 +478,31 @@ def binary_correlation_topk(data, num_entities: int, num_features: int,
     k_eff = min(k, n - 1) if k >= 0 else n - 1
     if k_eff <= 0:
         return (np.zeros((n, 0), np.int32), np.zeros((n, 0), np.float32))
+    # cap the tile height so the two per-tile bf16 converts stay ~1 GB
+    # each: the item-KNN orientation has m = num_users (480k at Netflix
+    # scale), where chunk=4096 tiles would transiently need 2 x 3.9 GB
+    # on top of the 8.6 GB incidence
+    if m > 0:
+        chunk = min(chunk, max(512, ((1 << 29) // m) // 256 * 256))
     chunk = int(min(max(chunk, k_eff), n))
     n_pad = ((n + chunk - 1) // chunk) * chunk
-    eids = jnp.asarray(np.asarray(data.users, dtype=np.int32))
-    fids = jnp.asarray(np.asarray(data.items, dtype=np.int32))
-    A = _device_incidence(eids, fids, jnp.int8(1), n_pad=n_pad, m=m)
+    eids = np.asarray(data.users, dtype=np.int32)
+    fids = np.asarray(data.items, dtype=np.int32)
+    A, pairs = _incidence_int8(eids, fids, n_pad=n_pad, m=m)
+    m_bits = A.shape[1]
+    ue, uf = pairs // m_bits, pairs % m_bits
     if weighted:
         # inverse-log frequency weights (Overlap.ComputeWeighted,
-        # Overlap.cs:26-56); O(nnz) host bincounts with duplicate
-        # (entity, feature) pairs collapsed, like the incidence scatter
-        key = np.asarray(data.users, np.int64) * m + \
-            np.asarray(data.items, np.int64)
-        pairs = np.unique(key)
-        ue, uf = pairs // m, pairs % m
+        # Overlap.cs:26-56); O(nnz) host bincounts over the deduped
+        # (entity, feature) pairs from the incidence build
         freq = np.bincount(uf, minlength=m)
         w_host = (1.0 / np.log2(3.0 + freq)).astype(np.float32)
         cnt = jnp.asarray(np.bincount(
             ue, weights=w_host[uf].astype(np.float64),
             minlength=n_pad).astype(np.float32))
-        w = jnp.asarray(w_host)
+        w = jnp.asarray(np.pad(w_host[:m], (0, m_bits - m)))
     else:
-        w = jnp.zeros(m, jnp.float32)
-        # row counts on host (unique pairs, matching the scatter's
-        # duplicate collapse): a device-side sum over the int8 incidence
-        # materializes an upcast copy of the whole table
-        key = np.asarray(data.users, np.int64) * m + \
-            np.asarray(data.items, np.int64)
-        ue = np.unique(key) // m
+        w = jnp.zeros(m_bits, jnp.float32)
         cnt = jnp.asarray(np.bincount(ue, minlength=n_pad)
                           .astype(np.float32))
 

@@ -262,7 +262,8 @@ class TestOnlineEvalFastPath:
         return m
 
     @pytest.mark.parametrize("name", ["MatrixFactorization",
-                                      "BiasedMatrixFactorization"])
+                                      "BiasedMatrixFactorization",
+                                      "UserItemBaseline"])
     def test_fast_matches_per_event_path(self, name):
         from mymedialite_tpu.eval.online import evaluate_ratings_online
         train, test = self._data()
