@@ -715,8 +715,27 @@ def bench_end_to_end():
     m.num_iter = 30
     m.ratings = RatingData(users, items, values, num_users=NUM_USERS,
                            num_items=NUM_ITEMS)
+    # split the host plan build from the ~320MB packed-plan upload (the
+    # latter is axon-tunnel-bound here, sub-second on attached chips)
+    from mymedialite_tpu.ops import pallas_sgd as _ps
+    host_prep = [0.0, 0.0]
+    orig_prep = _ps.prepare_mxu_data
+
+    def _timed_prep(*a, **k):
+        t = time.time()
+        plan = orig_prep(*a, **k)
+        host_prep[0] += time.time() - t
+        t = time.time()
+        float(jnp.sum(plan.packed[0, 0, :8]))   # drain the plan upload
+        host_prep[1] += time.time() - t
+        return plan
+
+    _ps.prepare_mxu_data = _timed_prep
     t0 = time.time()
-    m.init_model()                       # plan build (native bucketizer)
+    try:
+        m.init_model()                   # plan build (native bucketizer)
+    finally:
+        _ps.prepare_mxu_data = orig_prep
     t_prep = time.time() - t0
     t0 = time.time()
     m.iterate()
@@ -737,7 +756,9 @@ def bench_end_to_end():
     total = t_prep + t_compile + t_epochs + t_eval
     ref_total = 30 * 241.57 + 0.45
     print(f"SUITE end_to_end_seconds {total:.1f} "
-          f"(prep {t_prep:.1f} + compile+1ep {t_compile:.1f} + 29ep "
+          f"(prep {t_prep:.1f} [plan {host_prep[0]:.1f} + upload-drain "
+          f"{host_prep[1]:.1f}] + "
+          f"compile+1ep {t_compile:.1f} + 29ep "
           f"{t_epochs:.1f} + eval {t_eval:.1f}; RMSE {res['RMSE']:.4f}; "
           f"vs reference 30x241.57s+0.45s = {ref_total:.0f}s -> "
           f"{ref_total / total:.0f}x)", file=sys.stderr)
